@@ -1,0 +1,328 @@
+"""Shared Flax building blocks for the SD1.5-family UNet, pose encoder & VAE.
+
+All spatial tensors are channels-last ``[..., H, W, C]`` (TPU-native conv
+layout). Video tensors are ``[B, F, H, W, C]``; per-frame 2D ops fold frames
+into the batch. Parameter structures are chosen so PyTorch checkpoints map
+with a mechanical rule: torch ``Linear(w[o,i])`` -> flax kernel ``w.T``;
+torch ``Conv2d(w[o,i,kh,kw])`` -> flax kernel ``w.transpose(2,3,1,0)``.
+
+Numerics follow diffusers' modules (referenced per class) so imported SD1.5
+weights reproduce reference activations.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def sinusoidal_time_embedding(
+    timesteps: jnp.ndarray,
+    dim: int,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+    max_period: float = 10000.0,
+) -> jnp.ndarray:
+    """diffusers ``Timesteps``/``get_timestep_embedding`` semantics.
+
+    timesteps: [B] (float or int) -> [B, dim].
+    """
+    half_dim = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half_dim, dtype=jnp.float32)
+    exponent = exponent / (half_dim - downscale_freq_shift)
+    emb = jnp.exp(exponent)[None, :] * timesteps.astype(jnp.float32)[:, None]
+    sin, cos = jnp.sin(emb), jnp.cos(emb)
+    out = jnp.concatenate([cos, sin], -1) if flip_sin_to_cos else jnp.concatenate([sin, cos], -1)
+    if dim % 2 == 1:
+        out = jnp.pad(out, ((0, 0), (0, 1)))
+    return out
+
+
+def temporal_positional_encoding(length: int, d_model: int) -> jnp.ndarray:
+    """AnimateDiff motion-module sinusoid (motion_module.py:463-481): [1, L, D]."""
+    position = jnp.arange(length, dtype=jnp.float32)[:, None]
+    div_term = jnp.exp(
+        jnp.arange(0, d_model, 2, dtype=jnp.float32) * (-math.log(10000.0) / d_model)
+    )
+    pe = jnp.zeros((length, d_model), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(position * div_term))
+    pe = pe.at[:, 1::2].set(jnp.cos(position * div_term))
+    return pe[None]
+
+
+class TimestepEmbedding(nn.Module):
+    """linear_1 -> silu -> linear_2 (diffusers TimestepEmbedding)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_emb: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.dim, dtype=self.dtype, name="linear_1")(t_emb)
+        x = nn.silu(x)
+        return nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(x)
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm over the channel (last) axis; matches torch.nn.GroupNorm."""
+
+    num_groups: int = 32
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.GroupNorm(
+            num_groups=self.num_groups, epsilon=self.eps, dtype=self.dtype
+        )(x)
+
+
+def group_norm_per_frame(norm: nn.Module, x: jnp.ndarray) -> jnp.ndarray:
+    """Apply a GroupNorm to [B, F, H, W, C] per frame (InflatedGroupNorm,
+    resnet.py:30-40): statistics are computed within each frame."""
+    B, F = x.shape[:2]
+    out = norm(x.reshape((B * F,) + x.shape[2:]))
+    return out.reshape(x.shape)
+
+
+class LayerNorm(nn.Module):
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=self.eps, dtype=self.dtype)(x)
+
+
+class FeedForward(nn.Module):
+    """diffusers FeedForward with GEGLU: proj(dim -> 2*4dim) -> x*gelu(g) -> out."""
+
+    dim: int
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        inner = self.dim * self.mult
+        h = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * nn.gelu(gate, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(h)
+
+
+def scaled_dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Reference attention math (softmax in f32): q,k,v [..., heads, L, D]."""
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("...qd,...kd->...qk", q, k) * scale
+    logits = logits.astype(jnp.float32)
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("...qk,...kd->...qd", probs, v)
+
+
+class Attention(nn.Module):
+    """Multi-head attention matching diffusers ``Attention``.
+
+    to_q/to_k/to_v without bias, to_out.0 with bias (defaults). Inputs/outputs
+    are token-major: [B, L, C]; context [B, Lk, C_ctx] for cross attention.
+    ``bias`` broadcasts over heads: [B, Lq, Lk] or [B, heads, Lq, Lk].
+    """
+
+    query_dim: int
+    heads: int = 8
+    dim_head: int = 64
+    cross_attention_dim: Optional[int] = None
+    out_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,
+        encoder_hidden_states: Optional[jnp.ndarray] = None,
+        bias: Optional[jnp.ndarray] = None,
+        return_qk: bool = False,
+    ):
+        inner = self.heads * self.dim_head
+        ctx = hidden_states if encoder_hidden_states is None else encoder_hidden_states
+        q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(hidden_states)
+        k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        q_tokens, k_tokens = q, k
+
+        B, Lq = q.shape[:2]
+        Lk = k.shape[1]
+        q = q.reshape(B, Lq, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        k = k.reshape(B, Lk, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        v = v.reshape(B, Lk, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        if bias is not None and bias.ndim == 3:
+            bias = bias[:, None]
+        out = scaled_dot_product_attention(q, k, v, bias)
+        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, inner)
+        out = nn.Dense(
+            self.query_dim, use_bias=self.out_bias, dtype=self.dtype, name="to_out_0"
+        )(out)
+        if return_qk:
+            return out, {"query": q_tokens, "key": k_tokens}
+        return out
+
+
+class Conv2d(nn.Module):
+    """Thin nn.Conv wrapper with torch-style int stride/padding args."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(
+            self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+        )(x)
+
+
+def conv_per_frame(conv: nn.Module, x: jnp.ndarray) -> jnp.ndarray:
+    """Run a 2D conv on [B, F, H, W, C] by folding frames into batch
+    (InflatedConv3d, resnet.py:19-27)."""
+    B, F = x.shape[:2]
+    out = conv(x.reshape((B * F,) + x.shape[2:]))
+    return out.reshape((B, F) + out.shape[1:])
+
+
+class ResnetBlock2D(nn.Module):
+    """diffusers ResnetBlock2D (default config used by SD1.5):
+
+    norm1 -> silu -> conv1 -> (+ time_emb_proj(silu(temb))) -> norm2 -> silu
+    -> conv2 -> + shortcut(1x1 conv when channels change).
+    """
+
+    out_channels: int
+    temb_channels: int = 1280
+    groups: int = 32
+    eps: float = 1e-6
+    use_time_emb: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        residual = x
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
+        h = nn.silu(h)
+        h = Conv2d(self.out_channels, 3, 1, 1, dtype=self.dtype, name="conv1")(h)
+        if self.use_time_emb and temb is not None:
+            t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
+            h = h + t[:, None, None, :]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = Conv2d(self.out_channels, 3, 1, 1, dtype=self.dtype, name="conv2")(h)
+        if residual.shape[-1] != self.out_channels:
+            residual = Conv2d(
+                self.out_channels, 1, 1, 0, dtype=self.dtype, name="conv_shortcut"
+            )(residual)
+        return residual + h
+
+
+class Downsample2D(nn.Module):
+    """stride-2 3x3 conv (diffusers Downsample2D with use_conv=True)."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return Conv2d(self.out_channels, 3, 2, 1, dtype=self.dtype, name="conv")(x)
+
+
+class Upsample2D(nn.Module):
+    """nearest x2 + 3x3 conv (diffusers Upsample2D)."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, H, W, C = x.shape
+        x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+        return Conv2d(self.out_channels, 3, 1, 1, dtype=self.dtype, name="conv")(x)
+
+
+class BasicTransformerBlock(nn.Module):
+    """diffusers BasicTransformerBlock (spatial): self attn, cross attn, ff."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    cross_attention_dim: int = 768
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
+        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = x + Attention(
+            self.dim, self.heads, self.dim_head, dtype=self.dtype, name="attn1"
+        )(h)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        x = x + Attention(
+            self.dim,
+            self.heads,
+            self.dim_head,
+            cross_attention_dim=self.cross_attention_dim,
+            dtype=self.dtype,
+            name="attn2",
+        )(h, context)
+        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
+        return x
+
+
+class Transformer2DModel(nn.Module):
+    """Spatial transformer (conv projections, SD1.5 use_linear_projection=False).
+
+    Input [N, H, W, C]; context [N, L, C_ctx].
+    """
+
+    in_channels: int
+    heads: int
+    dim_head: int
+    depth: int = 1
+    cross_attention_dim: int = 768
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
+        N, H, W, C = x.shape
+        inner = self.heads * self.dim_head
+        residual = x
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        h = Conv2d(inner, 1, 1, 0, dtype=self.dtype, name="proj_in")(h)
+        h = h.reshape(N, H * W, inner)
+        for i in range(self.depth):
+            h = BasicTransformerBlock(
+                inner,
+                self.heads,
+                self.dim_head,
+                self.cross_attention_dim,
+                dtype=self.dtype,
+                name=f"transformer_blocks_{i}",
+            )(h, context)
+        h = h.reshape(N, H, W, inner)
+        h = Conv2d(C, 1, 1, 0, dtype=self.dtype, name="proj_out")(h)
+        return h + residual
