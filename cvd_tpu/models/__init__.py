@@ -1,4 +1,5 @@
-from cvd_tpu.models.unet import UNet3DConditionModel, UNetConfig
-from cvd_tpu.models.pose_encoder import CameraPoseEncoder
-from cvd_tpu.models.vae import AutoencoderKL, VAEConfig
-from cvd_tpu.models.clip_text import CLIPTextEncoder, CLIPTextConfig
+"""Flax model zoo. Submodules are imported directly to keep import cost low:
+
+    from cvd_tpu.models.unet import UNet3DConditionModel
+    from cvd_tpu.models import layers
+"""

@@ -1,0 +1,162 @@
+"""Motion module: per-pixel temporal self-attention (AnimateDiff V3) with
+CameraCtrl pose conditioning.
+
+Re-design of the reference ``animatediff/models/motion_module.py`` (
+VanillaTemporalModule / TemporalTransformer3DModel / TemporalTransformerBlock
+/ TemporalSelfAttention / PositionalEncoding) and of the pose-conditioned
+attention processor (``attention_processor.py:228-371``,
+``PoseAdaptorAttnProcessor``): the first temporal attention of each block
+(name '0' in the reference config) mixes the pose-encoder feature into its
+qkv source via a zero-initialized merge layer:
+
+    h' = qkv_merge(h + pose) * scale + h
+
+Token layout is ``[B, HW, F, C]`` — frames are the attention axis, (batch,
+pixel) are batch dims — instead of the reference's ``(b h w) f c`` flatten;
+identical math, better XLA batching.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from cvd_tpu.models.layers import (
+    Attention,
+    FeedForward,
+    temporal_positional_encoding,
+)
+
+
+class TemporalSelfAttention(nn.Module):
+    """One temporal attention: sinusoidal PE + optional pose conditioning.
+
+    Input [B, HW, F, C] (already layer-normed by the caller).
+    """
+
+    dim: int
+    heads: int
+    pe_max_len: int = 32
+    pose_conditioned: bool = False
+    pose_scale: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, pose_feature: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        B, HW, F, C = x.shape
+        # positional encoding over the frame axis (motion_module.py:515-516)
+        pe = temporal_positional_encoding(self.pe_max_len, C)[:, :F].astype(x.dtype)
+        x = x + pe[:, None]
+
+        if self.pose_conditioned and pose_feature is not None:
+            # PoseAdaptorAttnProcessor qkv_merge (attention_processor.py:323-326)
+            merge = nn.Dense(
+                C,
+                kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros,
+                dtype=self.dtype,
+                name="qkv_merge",
+            )
+            x = merge(x + pose_feature.astype(x.dtype)) * self.pose_scale + x
+
+        tokens = x.reshape(B * HW, F, C)
+        out = Attention(
+            self.dim, self.heads, self.dim_head_(), dtype=self.dtype, name="attn"
+        )(tokens)
+        return out.reshape(B, HW, F, C)
+
+    def dim_head_(self) -> int:
+        return self.dim // self.heads
+
+
+class TemporalTransformerBlock(nn.Module):
+    """N temporal attentions + feed-forward, pre-LN residual style
+    (motion_module.py:397-460)."""
+
+    dim: int
+    heads: int
+    num_attention_blocks: int = 2
+    pe_max_len: int = 32
+    pose_cond_indices: Tuple[int, ...] = (0,)
+    pose_scale: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, pose_feature: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        for i in range(self.num_attention_blocks):
+            h = nn.LayerNorm(dtype=self.dtype, name=f"norms_{i}")(x)
+            x = (
+                TemporalSelfAttention(
+                    self.dim,
+                    self.heads,
+                    self.pe_max_len,
+                    pose_conditioned=i in self.pose_cond_indices,
+                    pose_scale=self.pose_scale,
+                    dtype=self.dtype,
+                    name=f"attention_blocks_{i}",
+                )(h, pose_feature)
+                + x
+            )
+        h = nn.LayerNorm(dtype=self.dtype, name="ff_norm")(x)
+        x = FeedForward(self.dim, dtype=self.dtype, name="ff")(h) + x
+        return x
+
+
+class TemporalTransformer(nn.Module):
+    """The full motion module for one UNet layer (VanillaTemporalModule).
+
+    Input/output [B, F, H, W, C] with the outer residual connection
+    (motion_module.py:370-394). ``zero_initialize`` is a checkpoint-time
+    property in the reference; proj_out initializes to zeros here as well so
+    a freshly-initialized module is an identity map.
+    """
+
+    in_channels: int
+    heads: int = 8
+    num_transformer_blocks: int = 1
+    num_attention_blocks: int = 2
+    pe_max_len: int = 32
+    pose_cond_indices: Tuple[int, ...] = (0,)
+    pose_scale: float = 1.0
+    norm_groups: int = 32
+    zero_initialize: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, pose_feature: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        B, F, H, W, C = x.shape
+        residual = x
+        h = nn.GroupNorm(
+            num_groups=self.norm_groups, epsilon=1e-6, dtype=self.dtype, name="norm"
+        )(x.reshape(B * F, H, W, C)).reshape(B, F, H, W, C)
+        # [B, F, H, W, C] -> [B, HW, F, C]
+        h = h.reshape(B, F, H * W, C).transpose(0, 2, 1, 3)
+        h = nn.Dense(C, dtype=self.dtype, name="proj_in")(h)
+        if pose_feature is not None:
+            pose_feature = pose_feature.reshape(B, F, H * W, -1).transpose(0, 2, 1, 3)
+        for i in range(self.num_transformer_blocks):
+            h = TemporalTransformerBlock(
+                C,
+                self.heads,
+                self.num_attention_blocks,
+                self.pe_max_len,
+                self.pose_cond_indices,
+                self.pose_scale,
+                dtype=self.dtype,
+                name=f"transformer_blocks_{i}",
+            )(h, pose_feature)
+        proj_out_init = (
+            nn.initializers.zeros if self.zero_initialize else nn.initializers.lecun_normal()
+        )
+        h = nn.Dense(
+            C, kernel_init=proj_out_init, dtype=self.dtype, name="proj_out"
+        )(h)
+        h = h.transpose(0, 2, 1, 3).reshape(B, F, H, W, C)
+        return h + residual

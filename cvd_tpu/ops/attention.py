@@ -1,0 +1,42 @@
+"""Attention dispatch: XLA reference path now, Pallas fused kernels pluggable.
+
+The epi attention's bias is an additive float mask [B, Lq, Lk] (or
+[B, H, Lq, Lk]); the XLA path materializes it (like the reference's SDPA
+call, attention_processor.py:617-619). The Pallas path (ops/epi_flash.py)
+computes the bias per tile inside VMEM from line coefficients — wired in via
+``attention_with_bias(..., use_flash=True, bias_spec=...)`` once available.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def attention_with_bias(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    use_flash: bool = False,
+) -> jnp.ndarray:
+    """q, k, v: [B, heads, L, D]; bias: [B, Lq, Lk] or [B, heads, Lq, Lk].
+
+    Softmax is computed in f32 regardless of input dtype (matches torch SDPA
+    behavior closely enough at bf16 activations).
+    """
+    if use_flash:
+        from cvd_tpu.ops.epi_flash import flash_attention_with_bias
+
+        return flash_attention_with_bias(q, k, v, bias)
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    logits = logits.astype(jnp.float32)
+    if bias is not None:
+        if bias.ndim == 3:
+            bias = bias[:, None]
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
