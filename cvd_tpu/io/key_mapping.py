@@ -1,0 +1,238 @@
+"""PyTorch state-dict key -> Flax param path translation.
+
+One mechanical rule set covers every model family because the Flax module
+names were chosen to mirror the reference state-dict structure:
+
+  * dotted indices fuse:            down_blocks.0.resnets.1 -> down_blocks_0/resnets_1
+  * wrapper modules drop:           temporal_transformer / epi_transformer /
+                                    processor (qkv_merge lives on diffusers
+                                    attention *processors*), Conv_0 inserts
+  * ff naming:                      ff.net.0.proj -> ff/net_0_proj ; ff.net.2 -> ff/net_2
+  * leaf rename + transform:        Linear weight [o,i] -> kernel w.T
+                                    Conv weight [o,i,kh,kw] -> kernel (2,3,1,0)
+                                    Norm weight -> scale ; Embedding weight -> embedding
+  * buffers skipped:                pos_encoder.pe, position_ids
+
+Coverage contract matches the reference's load-time asserts
+(inference_epi.py:97-122): every checkpoint key must land in the tree or be
+an explicitly skipped buffer — zero silently-unexpected keys.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from flax import traverse_util
+
+SKIP_SUBSTRINGS = (
+    "pos_encoder.pe",
+    "position_ids",
+    "num_batches_tracked",
+)
+
+# VAE checkpoints from the SD era use legacy attention names.
+_VAE_LEGACY_ATTN = {
+    "q": "to_q", "k": "to_k", "v": "to_v", "proj_attn": "to_out_0",
+    "query": "to_q", "key": "to_k", "value": "to_v",
+}
+
+_DROP_TOKENS = {"temporal_transformer", "epi_transformer", "processor"}
+
+_FF_MAP = {
+    ("net", "0", "proj"): ("net_0_proj",),
+    ("net", "2"): ("net_2",),
+    ("mlp", "fc1"): ("mlp_fc1",),
+    ("mlp", "fc2"): ("mlp_fc2",),
+}
+
+
+def torch_key_to_flax_path(key: str) -> Optional[Tuple[str, ...]]:
+    """Translate a torch key (without the trailing weight/bias) to a flax
+    module path. Returns None for skipped buffers."""
+    if any(s in key for s in SKIP_SUBSTRINGS):
+        return None
+    tokens = key.split(".")
+    # apply ff / mlp multi-token contractions
+    out: List[str] = []
+    i = 0
+    while i < len(tokens):
+        matched = False
+        for pat, repl in _FF_MAP.items():
+            if tuple(tokens[i : i + len(pat)]) == pat:
+                out.extend(repl)
+                i += len(pat)
+                matched = True
+                break
+        if matched:
+            continue
+        tok = tokens[i]
+        if tok in _DROP_TOKENS:
+            i += 1
+            continue
+        if out and tok.isdigit():
+            out[-1] = f"{out[-1]}_{tok}"
+        else:
+            out.append(tok)
+        i += 1
+    return tuple(out)
+
+
+def _transform(
+    torch_name: str, value: np.ndarray, leaf_name: str
+) -> np.ndarray:
+    if leaf_name == "kernel":
+        if value.ndim == 4:
+            return value.transpose(2, 3, 1, 0)
+        if value.ndim == 2:
+            return value.T
+        raise ValueError(f"unexpected kernel rank {value.ndim} for {torch_name}")
+    return value
+
+
+def merge_torch_state(
+    params: Dict,
+    torch_state: Dict[str, np.ndarray],
+    prefix: Tuple[str, ...] = (),
+    key_filter: Optional[Callable[[str], bool]] = None,
+    rename: Optional[Callable[[str], str]] = None,
+    strict: bool = True,
+) -> Tuple[Dict, List[str]]:
+    """Write torch weights into a Flax params dict (pure 'params' subtree).
+
+    Args:
+      params: the {'params': ...} dict or bare param tree.
+      prefix: flax path prefix to prepend (e.g. ('encoder',)).
+      key_filter: only consume torch keys it accepts.
+      rename: pre-translation torch-key rewrite (e.g. VAE legacy attn names).
+      strict: raise if any accepted torch key fails to land.
+    Returns (new params, list of consumed torch keys).
+    """
+    has_wrapper = "params" in params and isinstance(params["params"], dict)
+    tree = params["params"] if has_wrapper else params
+    flat = traverse_util.flatten_dict(tree)
+    consumed: List[str] = []
+    errors: List[str] = []
+
+    for tkey, value in torch_state.items():
+        if key_filter is not None and not key_filter(tkey):
+            continue
+        key = rename(tkey) if rename is not None else tkey
+        if any(s in key for s in SKIP_SUBSTRINGS):
+            consumed.append(tkey)
+            continue
+        if key.endswith(".weight"):
+            base, leaf_candidates = key[: -len(".weight")], ("kernel", "scale", "embedding")
+        elif key.endswith(".bias"):
+            base, leaf_candidates = key[: -len(".bias")], ("bias",)
+        else:
+            base, leaf_candidates = key, ("__direct__",)
+        path = torch_key_to_flax_path(base)
+        if path is None:
+            consumed.append(tkey)
+            continue
+        path = prefix + path
+
+        placed = False
+        for leaf in leaf_candidates:
+            # the Conv2d wrapper inserts a Conv_0 level
+            candidates = (
+                [path + (leaf,), path + ("Conv_0", leaf)]
+                if leaf != "__direct__"
+                else [path]
+            )
+            for cand in candidates:
+                if cand in flat:
+                    tv = _transform(tkey, value, leaf if leaf != "__direct__" else "")
+                    if flat[cand].shape != tv.shape:
+                        errors.append(
+                            f"{tkey}: shape {tv.shape} vs param {cand} {flat[cand].shape}"
+                        )
+                        placed = True
+                        break
+                    flat[cand] = jnp.asarray(tv, dtype=flat[cand].dtype)
+                    consumed.append(tkey)
+                    placed = True
+                    break
+            if placed:
+                break
+        if not placed:
+            errors.append(f"{tkey}: no matching param at {'/'.join(path)}")
+
+    if strict and errors:
+        raise KeyError(
+            f"{len(errors)} checkpoint keys failed to map; first 10:\n"
+            + "\n".join(errors[:10])
+        )
+    new_tree = traverse_util.unflatten_dict(flat)
+    return ({"params": new_tree} if has_wrapper else new_tree), consumed
+
+
+_INV_SPECIAL = {
+    "net_0_proj": "net.0.proj",
+    "net_2": "net.2",
+    "mlp_fc1": "mlp.fc1",
+    "mlp_fc2": "mlp.fc2",
+}
+
+_TRAILING_IDX = __import__("re").compile(r"^(.*?)((?:_\d+)+)$")
+
+
+def flax_path_to_torch_key(path: Tuple[str, ...]) -> str:
+    """Inverse of torch_key_to_flax_path for our module trees.
+
+    Used to export trained params in the reference's checkpoint format and
+    to synthesize reference-shaped state dicts in tests.
+    """
+    import re
+
+    out: List[str] = []
+    for i, el in enumerate(path):
+        if el == "Conv_0":
+            continue
+        leaf = i == len(path) - 1
+        if leaf and el in ("kernel", "scale", "embedding"):
+            out.append("weight")
+            continue
+        if el == "qkv_merge":
+            out.append("processor")
+        if el in _INV_SPECIAL:
+            out.append(_INV_SPECIAL[el])
+            continue
+        m = _TRAILING_IDX.match(el)
+        if m:
+            el = m.group(1) + m.group(2).replace("_", ".")
+        out.append(el)
+        if re.fullmatch(r"motion_modules\.\d+", out[-1]):
+            out.append("temporal_transformer")
+        elif re.fullmatch(r"epi_modules\.\d+", out[-1]):
+            out.append("epi_transformer")
+    return ".".join(out)
+
+
+def export_torch_state(params: Dict, prefix: str = "") -> Dict[str, np.ndarray]:
+    """Flax params -> torch-layout numpy state dict (reference key names)."""
+    tree = params["params"] if "params" in params else params
+    flat = traverse_util.flatten_dict(tree)
+    out: Dict[str, np.ndarray] = {}
+    for path, value in flat.items():
+        v = np.asarray(value)
+        leaf = path[-1]
+        if leaf == "kernel":
+            v = v.transpose(3, 2, 0, 1) if v.ndim == 4 else v.T
+        key = flax_path_to_torch_key(path)
+        out[prefix + key] = v
+    return out
+
+
+def vae_legacy_rename(key: str) -> str:
+    """Rename SD-era VAE attention keys to the modern diffusers layout."""
+    if "attentions" not in key and "mid.attn" not in key:
+        return key
+    parts = key.split(".")
+    parts = [
+        _VAE_LEGACY_ATTN.get(p, p) if i >= len(parts) - 2 else p
+        for i, p in enumerate(parts)
+    ]
+    key = ".".join(parts)
+    return key.replace(".norm.", ".group_norm.").replace("to_out_0", "to_out.0")

@@ -23,8 +23,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from cvd_tpu.models.layers import (
-    Attention,
     FeedForward,
+    scaled_dot_product_attention,
     temporal_positional_encoding,
 )
 
@@ -62,14 +62,17 @@ class TemporalSelfAttention(nn.Module):
             )
             x = merge(x + pose_feature.astype(x.dtype)) * self.pose_scale + x
 
-        tokens = x.reshape(B * HW, F, C)
-        out = Attention(
-            self.dim, self.heads, self.dim_head_(), dtype=self.dtype, name="attn"
-        )(tokens)
-        return out.reshape(B, HW, F, C)
-
-    def dim_head_(self) -> int:
-        return self.dim // self.heads
+        head_dim = C // self.heads
+        q = nn.Dense(C, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = nn.Dense(C, use_bias=False, dtype=self.dtype, name="to_k")(x)
+        v = nn.Dense(C, use_bias=False, dtype=self.dtype, name="to_v")(x)
+        # [B, HW, F, C] -> [B, HW, heads, F, head_dim]; batch dims (B, HW, heads)
+        q = q.reshape(B, HW, F, self.heads, head_dim).transpose(0, 1, 3, 2, 4)
+        k = k.reshape(B, HW, F, self.heads, head_dim).transpose(0, 1, 3, 2, 4)
+        v = v.reshape(B, HW, F, self.heads, head_dim).transpose(0, 1, 3, 2, 4)
+        out = scaled_dot_product_attention(q, k, v)
+        out = out.transpose(0, 1, 3, 2, 4).reshape(B, HW, F, C)
+        return nn.Dense(C, dtype=self.dtype, name="to_out_0")(out)
 
 
 class TemporalTransformerBlock(nn.Module):

@@ -70,6 +70,52 @@ class _MidBlock(nn.Module):
         return x
 
 
+class _DownBlock(nn.Module):
+    channels: int
+    layers: int
+    add_downsample: bool
+    groups: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        for j in range(self.layers):
+            x = ResnetBlock2D(self.channels, use_time_emb=False, groups=self.groups,
+                              dtype=self.dtype, name=f"resnets_{j}")(x)
+        if self.add_downsample:
+            x = _VAEDownsample(self.channels, self.dtype, name="downsamplers_0")(x)
+        return x
+
+
+class _VAEDownsample(nn.Module):
+    channels: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        # diffusers VAE downsample: pad (0,1,0,1) then stride-2 VALID conv
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        return nn.Conv(self.channels, (3, 3), strides=(2, 2), padding="VALID",
+                       dtype=self.dtype, name="conv")(x)
+
+
+class _UpBlock(nn.Module):
+    channels: int
+    layers: int
+    add_upsample: bool
+    groups: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        for j in range(self.layers):
+            x = ResnetBlock2D(self.channels, use_time_emb=False, groups=self.groups,
+                              dtype=self.dtype, name=f"resnets_{j}")(x)
+        if self.add_upsample:
+            x = Upsample2D(self.channels, dtype=self.dtype, name="upsamplers_0")(x)
+        return x
+
+
 class Encoder(nn.Module):
     cfg: VAEConfig
 
@@ -79,14 +125,8 @@ class Encoder(nn.Module):
         ch = cfg.block_out_channels
         x = Conv2d(ch[0], 3, 1, 1, dtype=cfg.dtype, name="conv_in")(x)
         for i, c in enumerate(ch):
-            for j in range(cfg.layers_per_block):
-                x = ResnetBlock2D(c, use_time_emb=False, groups=cfg.norm_num_groups,
-                                  dtype=cfg.dtype, name=f"down_blocks_{i}_resnets_{j}")(x)
-            if i < len(ch) - 1:
-                # diffusers VAE downsample: pad (0,1,0,1) then stride-2 VALID conv
-                x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
-                x = nn.Conv(c, (3, 3), strides=(2, 2), padding="VALID",
-                            dtype=cfg.dtype, name=f"down_blocks_{i}_downsamplers_0_conv")(x)
+            x = _DownBlock(c, cfg.layers_per_block, i < len(ch) - 1,
+                           cfg.norm_num_groups, cfg.dtype, name=f"down_blocks_{i}")(x)
         x = _MidBlock(ch[-1], cfg.norm_num_groups, cfg.dtype, name="mid_block")(x)
         x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
                          dtype=cfg.dtype, name="conv_norm_out")(x)
@@ -104,11 +144,8 @@ class Decoder(nn.Module):
         x = Conv2d(ch[0], 3, 1, 1, dtype=cfg.dtype, name="conv_in")(z)
         x = _MidBlock(ch[0], cfg.norm_num_groups, cfg.dtype, name="mid_block")(x)
         for i, c in enumerate(ch):
-            for j in range(cfg.layers_per_block + 1):
-                x = ResnetBlock2D(c, use_time_emb=False, groups=cfg.norm_num_groups,
-                                  dtype=cfg.dtype, name=f"up_blocks_{i}_resnets_{j}")(x)
-            if i < len(ch) - 1:
-                x = Upsample2D(c, dtype=cfg.dtype, name=f"up_blocks_{i}_upsamplers_0")(x)
+            x = _UpBlock(c, cfg.layers_per_block + 1, i < len(ch) - 1,
+                         cfg.norm_num_groups, cfg.dtype, name=f"up_blocks_{i}")(x)
         x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
                          dtype=cfg.dtype, name="conv_norm_out")(x)
         x = nn.silu(x)
