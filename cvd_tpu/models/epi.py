@@ -29,6 +29,7 @@ from cvd_tpu.geometry.epipolar_mask import (
     epipolar_attn_bias_from_lines,
     epipolar_lines,
     homography_lines,
+    lines_and_band,
     pixel_grid_coords,
     pseudo_lines,
 )
@@ -159,11 +160,6 @@ class EpiSelfAttention(nn.Module):
                 else None
             )
             lines = _epi_lines(cond, B, feat_size, rng)
-            coords = pixel_grid_coords(feat_size, cond.F_mat_size)
-            bias = epipolar_attn_bias_from_lines(
-                lines, coords, feat_size, cond.F_mat_size
-            )
-            bias = regroup_bias(bias, B)
 
         enc = gather_partner_tokens(x, kv_index)
 
@@ -178,10 +174,35 @@ class EpiSelfAttention(nn.Module):
         q = q_tok.reshape(B, -1, self.heads, head_dim).transpose(0, 2, 1, 3)
         k = k_tok.reshape(B, -1, self.heads, head_dim).transpose(0, 2, 1, 3)
         v = v_tok.reshape(B, -1, self.heads, head_dim).transpose(0, 2, 1, 3)
-        out = attention_with_bias(
-            q, k, v, bias,
-            use_flash=bool(cond is not None and cond.use_flash_kernel),
+
+        multi_group = (
+            cond is not None
+            and cond.kv_index is not None
+            and cond.kv_index.shape[0] != B
         )
+        if (
+            cond is not None
+            and cond.use_flash_kernel
+            and not multi_group
+            and feat_size >= 16  # tiny grids: XLA wins, skip kernel launch
+        ):
+            # fused Pallas path: bias evaluated in VMEM from factored geometry
+            from cvd_tpu.ops.epi_flash import epi_flash_attention
+
+            coords = pixel_grid_coords(feat_size, cond.F_mat_size)
+            norm_lines, band, alpha = lines_and_band(
+                jax.lax.stop_gradient(lines), feat_size, cond.F_mat_size
+            )
+            out = epi_flash_attention(q, k, v, norm_lines, coords, band, alpha)
+        else:
+            bias = None
+            if cond is not None:
+                coords = pixel_grid_coords(feat_size, cond.F_mat_size)
+                bias = epipolar_attn_bias_from_lines(
+                    lines, coords, feat_size, cond.F_mat_size
+                )
+                bias = regroup_bias(bias, B)
+            out = attention_with_bias(q, k, v, bias)
 
         if cond is not None and cond.fix_firstframe:
             # average first-frame V across views, broadcast back

@@ -121,12 +121,13 @@ def scaled_dot_product_attention(
 ) -> jnp.ndarray:
     """Reference attention math (softmax in f32): q,k,v [..., heads, L, D]."""
     scale = 1.0 / math.sqrt(q.shape[-1])
-    logits = jnp.einsum("...qd,...kd->...qk", q, k) * scale
+    precision = "highest" if q.dtype == jnp.float32 else None
+    logits = jnp.einsum("...qd,...kd->...qk", q, k, precision=precision) * scale
     logits = logits.astype(jnp.float32)
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum("...qk,...kd->...qd", probs, v)
+    return jnp.einsum("...qk,...kd->...qd", probs, v, precision=precision)
 
 
 class Attention(nn.Module):

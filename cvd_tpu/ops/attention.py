@@ -32,11 +32,13 @@ def attention_with_bias(
 
         return flash_attention_with_bias(q, k, v, bias)
     scale = 1.0 / math.sqrt(q.shape[-1])
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    # exact f32 multiplies for f32 activations; bf16 keeps the fast MXU path
+    precision = "highest" if q.dtype == jnp.float32 else None
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=precision) * scale
     logits = logits.astype(jnp.float32)
     if bias is not None:
         if bias.ndim == 3:
             bias = bias[:, None]
         logits = logits + bias.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v, precision=precision)

@@ -1,0 +1,142 @@
+"""Shared pipeline machinery: module bundle, text encoding, VAE decode.
+
+The pipelines are thin hosts around fully-jitted device programs: one jit for
+(text encode + pose encode + full DDIM scan + VAE decode). No per-step Python,
+no per-frame decode loops (contrast pipeline_animation_epi.py:366-379,606-662).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cvd_tpu.models.clip_text import CLIPTextConfig, CLIPTextEncoder
+from cvd_tpu.models.pose_encoder import CameraPoseEncoder
+from cvd_tpu.models.unet import UNet3DConditionModel, UNetConfig
+from cvd_tpu.models.vae import AutoencoderKL, VAEConfig
+from cvd_tpu.schedulers import DDIMScheduler
+
+VAE_SCALE = 0.18215
+
+
+@dataclasses.dataclass
+class PipelineModules:
+    """Model defs + param trees for one assembled pipeline."""
+
+    unet: UNet3DConditionModel
+    vae: AutoencoderKL
+    clip: CLIPTextEncoder
+    pose_encoder: CameraPoseEncoder
+    scheduler: DDIMScheduler
+    unet_params: Dict
+    vae_params: Dict
+    clip_params: Dict
+    pose_encoder_params: Dict
+
+    @classmethod
+    def create(
+        cls,
+        unet_config: Optional[UNetConfig] = None,
+        vae_config: Optional[VAEConfig] = None,
+        clip_config: Optional[CLIPTextConfig] = None,
+        pose_encoder_kwargs: Optional[dict] = None,
+        scheduler: Optional[DDIMScheduler] = None,
+        rng: Optional[jax.Array] = None,
+        latent_size: int = 32,
+        video_length: int = 16,
+    ) -> "PipelineModules":
+        """Random-init bundle (weights loaded separately via cvd_tpu.io)."""
+        from cvd_tpu.models.epi import EpiConditioning
+
+        unet_config = unet_config or UNetConfig()
+        vae_config = vae_config or VAEConfig()
+        clip_config = clip_config or CLIPTextConfig()
+        pose_encoder_kwargs = pose_encoder_kwargs or {}
+        rng = rng if rng is not None else jax.random.key(0)
+        k1, k2, k3, k4 = jax.random.split(rng, 4)
+
+        unet = UNet3DConditionModel(unet_config)
+        vae = AutoencoderKL(vae_config)
+        clip = CLIPTextEncoder(clip_config)
+        pose_encoder = CameraPoseEncoder(
+            channels=unet_config.block_out_channels, **pose_encoder_kwargs
+        )
+
+        B, F, s = 2, video_length, latent_size
+        ch = unet_config.block_out_channels
+        with jax.default_device(jax.local_devices(backend="cpu")[0]):
+            init_unet = jax.jit(
+                partial(
+                    unet.init,
+                    sample=jnp.zeros((B, F, s, s, 4)),
+                    timesteps=jnp.zeros((B,), jnp.int32),
+                    encoder_hidden_states=jnp.zeros(
+                        (B, 77, unet_config.cross_attention_dim)
+                    ),
+                    pose_features=[
+                        jnp.zeros((B, F, s // (2**i), s // (2**i), ch[i]))
+                        for i in range(4)
+                    ],
+                    epi_cond=EpiConditioning(
+                        F_mats=jnp.zeros((B * F, 3, 3)),
+                        video_length=F,
+                        rand_slope_ff=False,
+                    ),
+                )
+            )
+            unet_params = init_unet({"params": k1})
+            vae_params = jax.jit(vae.init)(
+                k2, jnp.zeros((1, 8 * s, 8 * s, 3)), jax.random.key(0)
+            )
+            clip_params = jax.jit(clip.init)(k3, jnp.zeros((1, 77), jnp.int32))
+            pose_encoder_params = jax.jit(pose_encoder.init)(
+                k4, jnp.zeros((1, F, 8 * s, 8 * s, 6))
+            )
+        return cls(
+            unet, vae, clip, pose_encoder, scheduler or DDIMScheduler(),
+            unet_params, vae_params, clip_params, pose_encoder_params,
+        )
+
+
+def encode_prompt(
+    modules: PipelineModules, prompt_ids: jnp.ndarray, negative_ids: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """-> (uncond, cond) embeddings, each [B, 77, 768]."""
+    cond = modules.clip.apply(modules.clip_params, prompt_ids)
+    uncond = modules.clip.apply(modules.clip_params, negative_ids)
+    return uncond, cond
+
+
+def decode_latents(
+    modules: PipelineModules, latents: jnp.ndarray, frame_chunk: int = 8
+) -> jnp.ndarray:
+    """[B, F, h, w, 4] latents -> [B, F, H, W, 3] images in [0, 1].
+
+    Frames decode in chunks through lax.map to bound VAE activation memory
+    (replaces the reference's per-frame Python loop with a compiled loop).
+    """
+    B, F, h, w, c = latents.shape
+    flat = latents.reshape(B * F, h, w, c) / VAE_SCALE
+    n = flat.shape[0]
+    pad = (-n) % frame_chunk
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,) + flat.shape[1:], flat.dtype)])
+    chunks = flat.reshape(-1, frame_chunk, h, w, c)
+    decode = lambda z: modules.vae.apply(modules.vae_params, z, method=modules.vae.decode)
+    imgs = jax.lax.map(decode, chunks)
+    imgs = imgs.reshape(-1, *imgs.shape[2:])[:n]
+    imgs = jnp.clip(imgs / 2 + 0.5, 0.0, 1.0)
+    return imgs.reshape(B, F, *imgs.shape[1:])
+
+
+def encode_images(
+    modules: PipelineModules, images: jnp.ndarray, rng: jax.Array
+) -> jnp.ndarray:
+    """[N, H, W, 3] in [-1, 1] -> latents [N, H/8, W/8, 4] (sampled, scaled)."""
+    z = modules.vae.apply(
+        modules.vae_params, images, rng, method=modules.vae.sample_posterior
+    )
+    return z * VAE_SCALE

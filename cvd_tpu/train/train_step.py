@@ -1,0 +1,114 @@
+"""The jitted data-parallel training step.
+
+Replaces DDP + AMP GradScaler + manual clipping (train_epi_control.py:589-642)
+with one jit over a `data`-sharded batch: XLA inserts the gradient
+all-reduce from the output shardings; bf16 compute needs no loss scaling.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cvd_tpu.models.epi import EpiConditioning
+from cvd_tpu.pipelines.common import PipelineModules, VAE_SCALE
+from cvd_tpu.train.losses import epi_distance_loss, masked_mse_loss
+from cvd_tpu.train.state import TrainState
+
+
+def train_step(
+    state: TrainState,
+    batch: Dict[str, jnp.ndarray],
+    modules: PipelineModules,
+    rng: jax.Array,
+    F_mat_size: int = 256,
+    rand_slope_ff: bool = True,
+    epi_loss_weight: float = 0.002,
+    num_train_timesteps: int = 1000,
+):
+    """One optimization step.
+
+    batch keys (all device arrays, leading dim = 2*per-host videos, i.e. the
+    folded pair is already flattened video-major like the reference's
+    ``torch.cat(x.chunk(2, dim=1))`` at train_epi_control.py:516):
+      latents          [B, F, h, w, 4]   (pre-encoded) OR
+      pixel_values     [B, F, H, W, 3]   in [-1, 1]
+      text_ids         [B, 77]
+      plucker          [B, F, H, W, 6]
+      F_mats           [B, F, 3, 3]      (or H_mats + warped_masks)
+    """
+    m = modules
+    sched = m.scheduler.set_timesteps(50)  # state only used for add_noise tables
+    rng, eps_key, t_key, slope_key, vae_key = jax.random.split(rng, 5)
+
+    if "latents" in batch:
+        latents = batch["latents"]
+    else:
+        px = batch["pixel_values"]
+        B, F = px.shape[:2]
+        flat = px.reshape((B * F,) + px.shape[2:])
+        z = m.vae.apply(m.vae_params, flat, vae_key, method=m.vae.sample_posterior)
+        latents = (z * VAE_SCALE).reshape((B, F) + z.shape[1:])
+    B, F = latents.shape[:2]
+
+    noise = jax.random.normal(eps_key, latents.shape, latents.dtype)
+    timesteps = jax.random.randint(t_key, (B,), 0, num_train_timesteps)
+    noisy = m.scheduler.add_noise(sched, latents, noise, timesteps)
+
+    text = m.clip.apply(m.clip_params, batch["text_ids"])
+
+    pose_feats = m.pose_encoder.apply(m.pose_encoder_params, batch["plucker"])
+
+    F_mats = batch.get("F_mats")
+    H_mats = batch.get("H_mats")
+    mask = batch.get("warped_masks")
+    epi_cond = EpiConditioning(
+        F_mats=F_mats.reshape(B * F, 3, 3) if F_mats is not None else None,
+        H_mats=H_mats.reshape(B * F, 3, 3) if H_mats is not None else None,
+        video_length=F,
+        F_mat_size=F_mat_size,
+        rand_slope_ff=rand_slope_ff,
+        cfg_factor=1,
+    )
+
+    def loss_fn(params):
+        pred, extras = m.unet.apply(
+            params, noisy, timesteps, text, pose_feats, epi_cond,
+            rngs={"epi_slope": slope_key},
+        )
+        loss = masked_mse_loss(
+            pred.astype(jnp.float32), noise.astype(jnp.float32), mask
+        )
+        aux_loss = jnp.zeros((), jnp.float32)
+        if extras["auxiliary"] is not None and F_mats is not None:
+            aux_loss = epi_distance_loss(
+                extras["auxiliary"], F_mats.reshape(B * F, 3, 3), F_mat_size
+            )
+            loss = loss + epi_loss_weight * aux_loss
+        return loss, aux_loss
+
+    (loss, aux_loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    new_state = state.apply_gradients(grads)
+    metrics = {"loss": loss, "epi_loss": aux_loss}
+    return new_state, metrics
+
+
+def make_jitted_train_step(modules: PipelineModules, mesh=None, **kwargs):
+    """jit the step; with a mesh, donate state and shard the batch axis."""
+    def step(state, batch, rng):
+        return train_step(state, batch, modules, rng, **kwargs)
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    replicated = NamedSharding(mesh, P())
+    batched = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        step,
+        donate_argnums=(0,),
+        in_shardings=(replicated, batched, replicated),
+        out_shardings=(replicated, replicated),
+    )

@@ -18,6 +18,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+from cvd_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 assert jax.device_count() == 8, (
     f"tests expect an 8-device virtual CPU mesh, got {jax.devices()}"
 )

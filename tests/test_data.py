@@ -1,0 +1,116 @@
+"""Dataset + loader tests over synthetic RealEstate10K-format fixtures."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from cvd_tpu.data.loader import DataLoader, shard_indices
+from cvd_tpu.data.realestate10k import RealEstate10KPoseFolded
+from cvd_tpu.data.validation import ValRealEstate10KPoseFolded
+
+
+def write_pose_file(path, n_frames, seed=0):
+    rng = np.random.default_rng(seed)
+    lines = ["https://example.com/video\n"]
+    for i in range(n_frames):
+        # slowly translating camera, w2c 3x4 row-major
+        w2c = np.eye(4)
+        w2c[:3, 3] = [0.01 * i, 0.0, 0.02 * i]
+        vals = [str(100 + i), "0.5", "0.89", "0.5", "0.5", "0", "0"] + [
+            f"{x:.6f}" for x in w2c[:3].reshape(-1)
+        ]
+        lines.append(" ".join(vals) + "\n")
+    with open(path, "w") as f:
+        f.writelines(lines)
+
+
+@pytest.fixture(scope="module")
+def fake_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("re10k")
+    os.makedirs(root / "RealEstate10K" / "train")
+    os.makedirs(root / "annotation_json")
+    captions = {}
+    from PIL import Image
+
+    for c, clip in enumerate(["clipA", "clipB"]):
+        write_pose_file(root / "RealEstate10K" / "train" / f"{clip}.txt", 9, seed=c)
+        frame_dir = root / "dataset" / "train" / clip
+        os.makedirs(frame_dir)
+        rng = np.random.default_rng(c)
+        for i in range(9):
+            img = (rng.random((36, 64, 3)) * 255).astype(np.uint8)
+            Image.fromarray(img).save(frame_dir / f"{100+i}.png")
+        captions[f"{clip}.mp4"] = [f"a tour of {clip}"]
+    json.dump(captions, open(root / "annotation_json" / "train_captions.json", "w"))
+    return str(root)
+
+
+def test_train_dataset_folded_sample(fake_root):
+    ds = RealEstate10KPoseFolded(
+        fake_root, sample_n_frames=4, sample_size=32, seed=0, return_clip_name=True
+    )
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["pixel_values"].shape == (8, 32, 32, 3)
+    assert s["plucker_embedding"].shape == (8, 32, 32, 6)
+    assert s["F_mats"].shape == (8, 3, 3)
+    assert -1.0 <= s["pixel_values"].min() and s["pixel_values"].max() <= 1.0
+    # shared start frame: first frames of both folded videos are identical
+    np.testing.assert_array_equal(s["pixel_values"][0], s["pixel_values"][4])
+    np.testing.assert_array_equal(s["ret_c2w"][0], s["ret_c2w"][4])
+    # relative pose normalization: the shared start is the identity
+    np.testing.assert_allclose(s["ret_c2w"][0], np.eye(4), atol=1e-6)
+    # reverse-direction F mats are transposes
+    np.testing.assert_allclose(s["F_mats"][5], s["F_mats"][1].T, atol=1e-6)
+
+
+def test_validation_dataset(fake_root, tmp_path):
+    p0, p1 = tmp_path / "p0.txt", tmp_path / "p1.txt"
+    write_pose_file(p0, 6, seed=3)
+    write_pose_file(p1, 6, seed=4)
+    ds = ValRealEstate10KPoseFolded(
+        validation_prompts=["a castle", "a beach"],
+        validation_negative_prompts=["blurry", "dark"],
+        pose_file_0=str(p0),
+        pose_file_1=str(p1),
+        sample_n_frames=4,
+        sample_size=32,
+    )
+    assert len(ds) == 2
+    s = ds[1]
+    assert s["validation_prompt"] == "a beach"
+    assert s["validation_negative_prompt"] == "dark"
+    assert s["plucker_embedding"].shape == (8, 32, 32, 6)
+    assert s["F_mats"].shape == (8, 3, 3)
+    np.testing.assert_allclose(s["ret_c2w"][0], np.eye(4), atol=1e-5)
+
+
+def test_dataset_retry_on_missing_frames(fake_root):
+    ds = RealEstate10KPoseFolded(fake_root, sample_n_frames=4, sample_size=32, seed=1)
+    # break clipA's frames; retries should fall back to clipB
+    import shutil
+
+    broken = os.path.join(fake_root, "dataset", "train", "clipA_backup")
+    orig = os.path.join(fake_root, "dataset", "train", "clipA")
+    shutil.move(orig, broken)
+    try:
+        s = ds[0]
+        assert s["pixel_values"].shape == (8, 32, 32, 3)
+    finally:
+        shutil.move(broken, orig)
+
+
+def test_loader_batching_and_sharding(fake_root):
+    ds = RealEstate10KPoseFolded(fake_root, sample_n_frames=4, sample_size=32, seed=2)
+    dl = DataLoader(ds, batch_size=2, shuffle=True, num_workers=2)
+    batch = next(iter(dl))
+    assert batch["pixel_values"].shape == (2, 8, 32, 32, 3)
+    assert isinstance(batch["text"], list) and len(batch["text"]) == 2
+
+    # per-process shards partition the permutation
+    i0 = shard_indices(10, epoch=0, process_index=0, process_count=2)
+    i1 = shard_indices(10, epoch=0, process_index=1, process_count=2)
+    assert sorted(list(i0) + list(i1)) == list(range(10))
+    # deterministic per epoch
+    np.testing.assert_array_equal(i0, shard_indices(10, 0, 0, 0, 2))

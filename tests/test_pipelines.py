@@ -1,0 +1,120 @@
+"""End-to-end pipeline tests on the tiny bundle (8x8 latents, 2 frames)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cvd_tpu import geometry as G
+from cvd_tpu.geometry.trajectories import default_intrinsics
+from cvd_tpu.io.tokenizer import HashTokenizer
+from cvd_tpu.pipelines.advanced import AdvancedPipeline, random_pairing
+from cvd_tpu.pipelines.simple import SimplePipeline
+
+from tiny import tiny_modules
+
+F_FRAMES = 2
+IMG = 64  # latent 8
+
+
+@pytest.fixture(scope="module")
+def modules():
+    return tiny_modules(latent_size=8, video_length=F_FRAMES)
+
+
+@pytest.fixture(scope="module")
+def camera_inputs():
+    V = 2
+    c2ws = G.circle_trajectory(V, F_FRAMES, camera_dist=0.3)
+    K = default_intrinsics(V, F_FRAMES, IMG, IMG)
+    intr = np.stack([K[:, 0, 0], K[:, 1, 1], K[:, 0, 2], K[:, 1, 2]], -1)
+    plucker = G.ray_condition(
+        jnp.asarray(intr, jnp.float32)[None], jnp.asarray(c2ws, jnp.float32)[None],
+        IMG, IMG,
+    )[0].reshape(V, F_FRAMES, IMG, IMG, 6)
+    F_pair = G.fundamental_between_views(
+        jnp.asarray(c2ws[:F_FRAMES], jnp.float32),
+        jnp.asarray(c2ws[F_FRAMES:], jnp.float32),
+        jnp.asarray(K[:F_FRAMES], jnp.float32),
+        jnp.asarray(K[F_FRAMES:], jnp.float32),
+    )
+    F_mats = jnp.stack([F_pair, jnp.swapaxes(F_pair, -1, -2)])  # [2, F, 3, 3]
+    return plucker, F_mats, jnp.asarray(c2ws, jnp.float32), jnp.asarray(K, jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def prompts():
+    tok = HashTokenizer()
+    return jnp.asarray(tok(["a scenic video"])), jnp.asarray(tok([""]))
+
+
+def test_simple_pipeline_end_to_end(modules, camera_inputs, prompts):
+    plucker, F_mats, _, _ = camera_inputs
+    ids, neg = prompts
+    pipe = SimplePipeline(modules)
+    out = pipe(ids, neg, plucker, F_mats, num_inference_steps=3, rng=jax.random.key(0))
+    assert out.shape == (2, F_FRAMES, IMG, IMG, 3)
+    o = np.asarray(out)
+    assert np.isfinite(o).all() and o.min() >= 0.0 and o.max() <= 1.0
+    # determinism
+    out2 = pipe(ids, neg, plucker, F_mats, num_inference_steps=3, rng=jax.random.key(0))
+    np.testing.assert_array_equal(o, np.asarray(out2))
+    # different seed -> different video
+    out3 = pipe(ids, neg, plucker, F_mats, num_inference_steps=3, rng=jax.random.key(1))
+    assert np.abs(o - np.asarray(out3)).max() > 1e-4
+
+
+def test_simple_pipeline_latents_only(modules, camera_inputs, prompts):
+    plucker, F_mats, _, _ = camera_inputs
+    ids, neg = prompts
+    pipe = SimplePipeline(modules)
+    lat = pipe(ids, neg, plucker, F_mats, num_inference_steps=2, decode=False)
+    assert lat.shape == (2, F_FRAMES, 8, 8, 4)
+
+
+def test_advanced_pipeline_two_view_fixed_pairs(modules, camera_inputs, prompts):
+    plucker, F_mats, _, _ = camera_inputs
+    ids, neg = prompts
+    pipe = AdvancedPipeline(modules)
+    out = pipe(ids, neg, plucker, F_mats=F_mats, num_inference_steps=2,
+               rng=jax.random.key(2))
+    assert out.shape == (2, F_FRAMES, IMG, IMG, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_advanced_pipeline_multiview_multistep(modules, prompts):
+    V = 4
+    c2ws = G.circle_trajectory(V, F_FRAMES, camera_dist=0.3)
+    K = default_intrinsics(V, F_FRAMES, IMG, IMG)
+    intr = np.stack([K[:, 0, 0], K[:, 1, 1], K[:, 0, 2], K[:, 1, 2]], -1)
+    plucker = G.ray_condition(
+        jnp.asarray(intr, jnp.float32)[None], jnp.asarray(c2ws, jnp.float32)[None],
+        IMG, IMG,
+    )[0].reshape(V, F_FRAMES, IMG, IMG, 6)
+    ids, neg = prompts
+    pipe = AdvancedPipeline(modules)
+    out = pipe(
+        ids, neg, plucker,
+        c2w=jnp.asarray(c2ws, jnp.float32), K_mats=jnp.asarray(K, jnp.float32),
+        num_inference_steps=2, multistep=2, accumulate_step=2,
+        rng=jax.random.key(3),
+    )
+    assert out.shape == (V, F_FRAMES, IMG, IMG, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_advanced_pipeline_homography_path(modules, camera_inputs, prompts):
+    plucker, _, _, _ = camera_inputs
+    ids, neg = prompts
+    H_mats = jnp.broadcast_to(jnp.eye(3), (2, F_FRAMES, 3, 3))
+    pipe = AdvancedPipeline(modules)
+    out = pipe(ids, neg, plucker, H_mats=H_mats, num_inference_steps=2,
+               rng=jax.random.key(4))
+    assert out.shape == (2, F_FRAMES, IMG, IMG, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_random_pairing_is_perfect_matching():
+    for seed in range(5):
+        partner = np.asarray(random_pairing(jax.random.key(seed), 6))
+        assert (partner[partner] == np.arange(6)).all()
+        assert (partner != np.arange(6)).all()

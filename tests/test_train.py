@@ -1,0 +1,118 @@
+"""Training-step tests: freeze mask, loss behavior, and the data-parallel
+mesh path on the virtual 8-device CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from flax import traverse_util
+
+from cvd_tpu.parallel import create_mesh, replicate, shard_batch
+from cvd_tpu.train.losses import epi_distance_loss, masked_mse_loss
+from cvd_tpu.train.state import create_train_state, trainable_mask
+from cvd_tpu.train.train_step import make_jitted_train_step, train_step
+
+from tiny import tiny_modules
+
+F_FRAMES = 2
+IMG = 64
+
+
+@pytest.fixture(scope="module")
+def modules():
+    return tiny_modules(latent_size=8, video_length=F_FRAMES)
+
+
+def make_batch(B=2, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "latents": jnp.asarray(rng.standard_normal((B, F_FRAMES, 8, 8, 4)), jnp.float32),
+        "text_ids": jnp.asarray(rng.integers(0, 49408, (B, 77)), jnp.int32),
+        "plucker": jnp.asarray(
+            rng.standard_normal((B, F_FRAMES, IMG, IMG, 6)), jnp.float32
+        ),
+        "F_mats": jnp.asarray(
+            rng.standard_normal((B, F_FRAMES, 3, 3)) * 1e-3, jnp.float32
+        ),
+    }
+
+
+def test_trainable_mask_selects_epi_and_merge():
+    m = tiny_modules(8, F_FRAMES)
+    mask = trainable_mask(m.unet_params)
+    flat = traverse_util.flatten_dict(mask["params"])
+    on = [k for k, v in flat.items() if v]
+    off = [k for k, v in flat.items() if not v]
+    assert all("epi_modules" in "/".join(k) for k in on)
+    assert any("motion_modules" in "/".join(k) for k in off)
+    assert len(on) > 50
+
+
+def test_train_step_updates_only_trainable(modules):
+    state = create_train_state(modules.unet_params, learning_rate=1e-3)
+    before = traverse_util.flatten_dict(state.params["params"])
+    before = {k: np.asarray(v).copy() for k, v in before.items()}
+    new_state, metrics = jax.jit(
+        lambda s, b, k: train_step(s, b, modules, k), donate_argnums=()
+    )(state, make_batch(), jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
+    after = traverse_util.flatten_dict(new_state.params["params"])
+    changed = {k for k in after if not np.allclose(before[k], np.asarray(after[k]))}
+    assert changed, "no params updated"
+    assert all("epi_modules" in "/".join(k) for k in changed), (
+        f"non-epi params changed: {list(changed)[:3]}"
+    )
+    # epi proj_out is zero-init -> gradients flow into epi attention weights
+    assert any("to_q" in "/".join(k) or "proj_out" in "/".join(k) for k in changed)
+
+
+def test_train_step_data_parallel_mesh(modules):
+    mesh = create_mesh(axis_names=("data",))
+    assert mesh.devices.size == 8
+    # copy params: the jitted step donates the state, and replication may
+    # alias the device-0 shard with the shared fixture buffers
+    params_copy = jax.tree_util.tree_map(jnp.copy, modules.unet_params)
+    state = create_train_state(params_copy, learning_rate=1e-3)
+    state = replicate(state, mesh)
+    batch = shard_batch(make_batch(B=8), mesh)
+    step = make_jitted_train_step(modules, mesh)
+    new_state, metrics = step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+    # loss must equal the single-device computation on the same batch
+    state2 = create_train_state(modules.unet_params, learning_rate=1e-3)
+    _, metrics2 = jax.jit(lambda s, b, k: train_step(s, b, modules, k))(
+        state2, make_batch(B=8), jax.random.key(1)
+    )
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(metrics2["loss"]), rtol=1e-4
+    )
+
+
+def test_masked_mse():
+    pred = jnp.ones((2, 4))
+    tgt = jnp.zeros((2, 4))
+    mask = jnp.asarray([[1.0, 1, 0, 0], [0, 0, 0, 0]])
+    assert float(masked_mse_loss(pred, tgt, mask)) == pytest.approx(2 / 8)
+
+
+def test_epi_distance_loss_prefers_on_line_correspondences():
+    # keys identical to queries at pixel-aligned positions -> soft argmax sits
+    # at the query pixel; identity-ish F whose epipolar line passes through
+    # the pixel gives near-zero loss, a shifted line gives larger loss
+    rng = np.random.default_rng(0)
+    B, F, h = 1, 1, 8
+    C = 16
+    qk = rng.standard_normal((B, F, h, h, C)).astype(np.float32) * 5
+    aux = jnp.asarray(np.concatenate([qk, qk], -1))
+    # line through own pixel: horizontal line y = y_q -> F built s.t. l = (0,-1,y)
+    # use pseudo path instead: compare two translations
+    F_good = np.zeros((1, 3, 3), np.float32)
+    F_good[:, 1, 2] = -1.0  # l = F x = (0, -1*1?, ...)
+    # l_q = F @ (x, y, 1) = (0, -1, ?) rows: row0=0, row1 = -1 (z comp) ...
+    F_good[:, 0, :] = [0, 0, 0]
+    F_good = np.array([[[0, 0, 0], [0, 0, -1], [0, 1, 0]]], np.float32)
+    # l = F @ p = (0, -1, y) -> line y' = y passes through matched pixel
+    F_bad = np.array([[[0, 0, 0], [0, 0, -1], [0, 1, 100.0]]], np.float32)
+    good = float(epi_distance_loss(aux, jnp.asarray(F_good), 256))
+    bad = float(epi_distance_loss(aux, jnp.asarray(F_bad), 256))
+    assert good < bad
+    assert good < 0.05
