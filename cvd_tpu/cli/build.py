@@ -39,6 +39,8 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
                    help="tiny random-weight smoke mode (no checkpoints needed)")
     p.add_argument("--pose_adaptor_scale", type=float, default=1.0)
     p.add_argument("--bf16", action="store_true", help="bfloat16 activations")
+    p.add_argument("--spatial_extended_attention", action="store_true")
+    p.add_argument("--image_lora_rank", type=int, default=2)
 
 
 def build_modules(args, video_length: int, image_size: int) -> Tuple[PipelineModules, object]:
@@ -65,8 +67,19 @@ def build_modules(args, video_length: int, image_size: int) -> Tuple[PipelineMod
 
     import dataclasses
 
+    # runtime (unfused) image LoRA: rank semantics from the reference
+    # (unet.py:1028: rank if >16 else hidden_size // rank)
+    lora_rank = 0
+    if args.image_lora_ckpt:
+        r = getattr(args, "image_lora_rank", 2)
+        lora_rank = r if r > 16 else -r  # negative => per-layer channels//r
     modules = PipelineModules.create(
-        unet_config=UNetConfig(pose_scale=args.pose_adaptor_scale, dtype=dtype),
+        unet_config=UNetConfig(
+            pose_scale=args.pose_adaptor_scale,
+            spatial_extended_attention=getattr(args, "spatial_extended_attention", False),
+            spatial_lora_rank=lora_rank,
+            dtype=dtype,
+        ),
         vae_config=dataclasses.replace(VAEConfig(), dtype=dtype),
         clip_config=CLIPTextConfig(),
         latent_size=image_size // 8,
@@ -91,6 +104,20 @@ def build_modules(args, video_length: int, image_size: int) -> Tuple[PipelineMod
         pose_adaptor_ckpt=args.pose_adaptor_ckpt,
         pose_encoder_params=modules.pose_encoder_params,
     )
+
+    if args.image_lora_ckpt:
+        # runtime image LoRA (inference_epi.py:91-98); keys map mechanically
+        # ('processor.to_q_lora.down' -> attn/to_q_lora/down)
+        import torch as _torch
+
+        from cvd_tpu.io.key_mapping import merge_torch_state
+        from cvd_tpu.io.torch_io import load_torch_state
+
+        raw = _torch.load(args.image_lora_ckpt, map_location="cpu", weights_only=False)
+        sub = "lora_state_dict" if isinstance(raw, dict) and "lora_state_dict" in raw else None
+        state = load_torch_state(args.image_lora_ckpt, sub_dict=sub)
+        modules.unet_params, consumed = merge_torch_state(modules.unet_params, state)
+        assert len(consumed) == len(state), "unconsumed image-LoRA keys"
 
     if args.civitai_base_model:
         from cvd_tpu.io.ldm_convert import load_civitai_base_model

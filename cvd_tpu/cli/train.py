@@ -22,6 +22,59 @@ def load_config(path: str) -> dict:
         return yaml.safe_load(f)
 
 
+def run_validation(modules, tokenizer, cfg, out_dir, step, state):
+    """In-training validation sampling + epipolar sanity overlays
+    (train_epi_control.py:402-494)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cvd_tpu.data.validation import ValRealEstate10KPoseFolded
+    from cvd_tpu.pipelines.simple import SimplePipeline
+    from cvd_tpu.utils.video import save_videos_grid
+    from cvd_tpu.utils.visualize import check_fundamental
+
+    vcfg = cfg.get("validation_data") or {}
+    if not vcfg.get("pose_file_0"):
+        return
+    n = cfg.get("sample_n_frames", 16)
+    size = cfg.get("sample_size", 256)
+    ds = ValRealEstate10KPoseFolded(
+        validation_prompts=vcfg.get("prompts", ["a scenic video"]),
+        pose_file_0=vcfg["pose_file_0"],
+        pose_file_1=vcfg["pose_file_1"],
+        sample_n_frames=n,
+        sample_size=size,
+    )
+    sample = ds[0]
+    # sample with the CURRENT training params
+    import dataclasses as _dc
+
+    live = _dc.replace(modules, unet_params=jax.device_get(state.params))
+    pipe = SimplePipeline(live, F_mat_size=size)
+    vids = np.asarray(
+        pipe(
+            jnp.asarray(tokenizer([sample["validation_prompt"]])),
+            jnp.asarray(tokenizer([""])),
+            jnp.asarray(sample["plucker_embedding"], jnp.float32).reshape(
+                2, n, size, size, 6
+            ),
+            jnp.asarray(sample["F_mats"], jnp.float32).reshape(2, n, 3, 3),
+            num_inference_steps=cfg.get("validation_steps_num", 25),
+            rng=jax.random.key(step),
+        )
+    )
+    vdir = f"{out_dir}/validation"
+    save_videos_grid(vids, f"{vdir}/step-{step}.gif", n_rows=2)
+    # epipolar overlay on the generated pair's middle frame
+    import imageio
+
+    overlay = check_fundamental(
+        vids[0, n // 2], vids[1, n // 2], sample["F_mats"][n // 2]
+    )
+    imageio.imwrite(f"{vdir}/step-{step}-epi.png", overlay)
+
+
 def main(args):
     import jax
     import jax.numpy as jnp
@@ -154,6 +207,13 @@ def main(args):
                 )
                 metrics_log.log(global_step, loss=loss, epi_loss=float(m["epi_loss"]))
             t_iter = time.time()
+
+            val_every = cfg.get("validation_steps", 0)
+            if (
+                jax.process_index() == 0 and val_every
+                and global_step % val_every == 0
+            ):
+                run_validation(modules, tokenizer, cfg, out_dir, global_step, state)
 
             if jax.process_index() == 0 and global_step % ckpt_every == 0:
                 ck = os.path.join(out_dir, "checkpoints", f"step-{global_step}")

@@ -130,12 +130,33 @@ def scaled_dot_product_attention(
     return jnp.einsum("...qk,...kd->...qd", probs, v, precision=precision)
 
 
+class LoRADelta(nn.Module):
+    """down->up low-rank delta (diffusers LoRALinearLayer: down has no bias,
+    up zero-initialized so the delta starts at 0)."""
+
+    out_features: int
+    rank: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.Dense(self.rank, use_bias=False, dtype=self.dtype, name="down")(x)
+        return nn.Dense(
+            self.out_features, use_bias=False, dtype=self.dtype,
+            kernel_init=nn.initializers.zeros, name="up",
+        )(h)
+
+
 class Attention(nn.Module):
     """Multi-head attention matching diffusers ``Attention``.
 
     to_q/to_k/to_v without bias, to_out.0 with bias (defaults). Inputs/outputs
     are token-major: [B, L, C]; context [B, Lk, C_ctx] for cross attention.
     ``bias`` broadcasts over heads: [B, Lq, Lk] or [B, heads, Lq, Lk].
+
+    With ``lora_rank > 0`` each projection gains a LoRA delta scaled at call
+    time (``lora_scale``) — the reference's CustomizedLoRAAttnProcessor
+    (attention_processor.py:113-225) with set_image_layer_lora_scale support.
     """
 
     query_dim: int
@@ -143,6 +164,7 @@ class Attention(nn.Module):
     dim_head: int = 64
     cross_attention_dim: Optional[int] = None
     out_bias: bool = True
+    lora_rank: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -152,12 +174,20 @@ class Attention(nn.Module):
         encoder_hidden_states: Optional[jnp.ndarray] = None,
         bias: Optional[jnp.ndarray] = None,
         return_qk: bool = False,
+        lora_scale: float = 1.0,
     ):
         inner = self.heads * self.dim_head
         ctx = hidden_states if encoder_hidden_states is None else encoder_hidden_states
         q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(hidden_states)
         k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
         v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        if self.lora_rank > 0:
+            q = q + lora_scale * LoRADelta(inner, self.lora_rank, self.dtype,
+                                           name="to_q_lora")(hidden_states)
+            k = k + lora_scale * LoRADelta(inner, self.lora_rank, self.dtype,
+                                           name="to_k_lora")(ctx)
+            v = v + lora_scale * LoRADelta(inner, self.lora_rank, self.dtype,
+                                           name="to_v_lora")(ctx)
         q_tokens, k_tokens = q, k
 
         B, Lq = q.shape[:2]
@@ -169,9 +199,14 @@ class Attention(nn.Module):
             bias = bias[:, None]
         out = scaled_dot_product_attention(q, k, v, bias)
         out = out.transpose(0, 2, 1, 3).reshape(B, Lq, inner)
+        h = out
         out = nn.Dense(
             self.query_dim, use_bias=self.out_bias, dtype=self.dtype, name="to_out_0"
         )(out)
+        if self.lora_rank > 0:
+            out = out + lora_scale * LoRADelta(
+                self.query_dim, self.lora_rank, self.dtype, name="to_out_lora"
+            )(h)
         if return_qk:
             return out, {"query": q_tokens, "key": k_tokens}
         return out
@@ -265,29 +300,45 @@ class Upsample2D(nn.Module):
 
 
 class BasicTransformerBlock(nn.Module):
-    """diffusers BasicTransformerBlock (spatial): self attn, cross attn, ff."""
+    """diffusers BasicTransformerBlock (spatial): self attn, cross attn, ff.
+
+    ``extended_attention``: the self-attention's K/V see the token concat of
+    both videos in the pair (reference spatial_extended_attention,
+    attention_processor.py:69-83) so spatial content syncs across views.
+    """
 
     dim: int
     heads: int
     dim_head: int
     cross_attention_dim: int = 768
+    extended_attention: bool = False
+    lora_rank: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, context: jnp.ndarray, lora_scale: float = 1.0
+    ) -> jnp.ndarray:
         h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        self_ctx = None
+        if self.extended_attention:
+            half = h.shape[0] // 2
+            pair = jnp.concatenate([h[:half], h[half:]], axis=1)  # [B/2, 2L, C]
+            self_ctx = jnp.tile(pair, (2, 1, 1))
         x = x + Attention(
-            self.dim, self.heads, self.dim_head, dtype=self.dtype, name="attn1"
-        )(h)
+            self.dim, self.heads, self.dim_head, lora_rank=self.lora_rank,
+            dtype=self.dtype, name="attn1",
+        )(h, self_ctx, lora_scale=lora_scale)
         h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         x = x + Attention(
             self.dim,
             self.heads,
             self.dim_head,
             cross_attention_dim=self.cross_attention_dim,
+            lora_rank=self.lora_rank,
             dtype=self.dtype,
             name="attn2",
-        )(h, context)
+        )(h, context, lora_scale=lora_scale)
         h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
         x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
         return x
@@ -304,11 +355,15 @@ class Transformer2DModel(nn.Module):
     dim_head: int
     depth: int = 1
     cross_attention_dim: int = 768
+    extended_attention: bool = False
+    lora_rank: int = 0
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, context: jnp.ndarray, lora_scale: float = 1.0
+    ) -> jnp.ndarray:
         N, H, W, C = x.shape
         inner = self.heads * self.dim_head
         residual = x
@@ -321,9 +376,11 @@ class Transformer2DModel(nn.Module):
                 self.heads,
                 self.dim_head,
                 self.cross_attention_dim,
+                extended_attention=self.extended_attention,
+                lora_rank=self.lora_rank,
                 dtype=self.dtype,
                 name=f"transformer_blocks_{i}",
-            )(h, context)
+            )(h, context, lora_scale=lora_scale)
         h = h.reshape(N, H, W, inner)
         h = Conv2d(C, 1, 1, 0, dtype=self.dtype, name="proj_out")(h)
         return h + residual

@@ -64,6 +64,11 @@ class UNetConfig:
     epi_num_transformer_blocks: int = 1
     epi_num_attention_blocks: int = 2
     epi_zero_initialize: bool = True
+    # spatial attention extras (attention_processor.py:69-83, 113-225)
+    spatial_extended_attention: bool = False
+    # >0: fixed LoRA rank; <0: per-layer rank = channels // (-value)
+    # (reference rank rule, unet.py:1028); 0: no LoRA params
+    spatial_lora_rank: int = 0
     # auxiliary q/k output channels for the epipolar training loss
     additional_channel: int = 0
     dtype: Any = jnp.float32
@@ -81,6 +86,14 @@ def _fold(x: jnp.ndarray) -> jnp.ndarray:
 
 def _unfold(x: jnp.ndarray, B: int) -> jnp.ndarray:
     return x.reshape((B, -1) + x.shape[1:])
+
+
+def _lora_rank(cfg: UNetConfig, channels: int) -> int:
+    if cfg.spatial_lora_rank > 0:
+        return cfg.spatial_lora_rank
+    if cfg.spatial_lora_rank < 0:
+        return channels // (-cfg.spatial_lora_rank)
+    return 0
 
 
 class _LayerStack(nn.Module):
@@ -102,7 +115,7 @@ class CrossAttnDownBlock(nn.Module):
     cfg: UNetConfig
 
     @nn.compact
-    def __call__(self, x, temb, context, pose_feature, epi_cond):
+    def __call__(self, x, temb, context, pose_feature, epi_cond, lora_scale=1.0):
         cfg = self.cfg
         B = x.shape[0]
         temb_f = jnp.repeat(temb, x.shape[1], axis=0)
@@ -118,8 +131,10 @@ class CrossAttnDownBlock(nn.Module):
             h = Transformer2DModel(
                 self.out_channels, self.heads, self.out_channels // self.heads,
                 cross_attention_dim=self.cross_attention_dim,
+                extended_attention=cfg.spatial_extended_attention,
+                lora_rank=_lora_rank(cfg, self.out_channels),
                 groups=cfg.norm_num_groups, dtype=cfg.dtype, name=f"attentions_{j}",
-            )(h, context_f)
+            )(h, context_f, lora_scale=lora_scale)
             x = _unfold(h, B)
             if self.use_motion:
                 x = TemporalTransformer(
@@ -197,7 +212,7 @@ class MidBlock(nn.Module):
     cfg: UNetConfig
 
     @nn.compact
-    def __call__(self, x, temb, context, pose_feature, epi_cond):
+    def __call__(self, x, temb, context, pose_feature, epi_cond, lora_scale=1.0):
         cfg = self.cfg
         B = x.shape[0]
         temb_f = jnp.repeat(temb, x.shape[1], axis=0)
@@ -210,8 +225,10 @@ class MidBlock(nn.Module):
         h = Transformer2DModel(
             self.channels, self.heads, self.channels // self.heads,
             cross_attention_dim=self.cross_attention_dim,
+            extended_attention=cfg.spatial_extended_attention,
+            lora_rank=_lora_rank(cfg, self.channels),
             groups=cfg.norm_num_groups, dtype=cfg.dtype, name="attentions_0",
-        )(h, context_f)
+        )(h, context_f, lora_scale=lora_scale)
         x = _unfold(h, B)
         if self.use_motion:
             x = TemporalTransformer(
@@ -250,7 +267,7 @@ class CrossAttnUpBlock(nn.Module):
     cfg: UNetConfig
 
     @nn.compact
-    def __call__(self, x, res_states, temb, context, pose_feature, epi_cond):
+    def __call__(self, x, res_states, temb, context, pose_feature, epi_cond, lora_scale=1.0):
         cfg = self.cfg
         B = x.shape[0]
         temb_f = jnp.repeat(temb, x.shape[1], axis=0)
@@ -267,8 +284,10 @@ class CrossAttnUpBlock(nn.Module):
                 h = Transformer2DModel(
                     self.out_channels, self.heads, self.out_channels // self.heads,
                     cross_attention_dim=self.cross_attention_dim,
+                    extended_attention=cfg.spatial_extended_attention,
+                    lora_rank=_lora_rank(cfg, self.out_channels),
                     groups=cfg.norm_num_groups, dtype=cfg.dtype, name=f"attentions_{j}",
-                )(h, context_f)
+                )(h, context_f, lora_scale=lora_scale)
             x = _unfold(h, B)
             if self.use_motion:
                 x = TemporalTransformer(
@@ -307,6 +326,7 @@ class UNet3DConditionModel(nn.Module):
         epi_cond: Optional[EpiConditioning] = None,
         down_block_additional_residuals: Optional[Sequence[jnp.ndarray]] = None,
         mid_block_additional_residual: Optional[jnp.ndarray] = None,
+        lora_scale: float = 1.0,
     ):
         cfg = self.config
         B, F = sample.shape[:2]
@@ -341,7 +361,8 @@ class UNet3DConditionModel(nn.Module):
                     ch[i], cfg.layers_per_block, heads, cfg.cross_attention_dim,
                     add_downsample=True, use_motion=use_motion, use_epi=use_epi,
                     cfg=cfg, name=f"down_blocks_{i}",
-                )(x, temb, encoder_hidden_states, pose_features[i], epi_cond)
+                )(x, temb, encoder_hidden_states, pose_features[i], epi_cond,
+                  lora_scale=lora_scale)
             else:
                 x, res_states, aux = DownBlock(
                     ch[i], cfg.layers_per_block, add_downsample=False,
@@ -362,7 +383,8 @@ class UNet3DConditionModel(nn.Module):
             use_motion=cfg.use_motion_module and cfg.motion_module_mid_block,
             use_epi=cfg.use_epi_module and cfg.epi_module_mid_block,
             cfg=cfg, name="mid_block",
-        )(x, temb, encoder_hidden_states, pose_features[-1], epi_cond)
+        )(x, temb, encoder_hidden_states, pose_features[-1], epi_cond,
+          lora_scale=lora_scale)
         aux_all += aux
 
         if mid_block_additional_residual is not None:
@@ -386,7 +408,8 @@ class UNet3DConditionModel(nn.Module):
                 add_upsample=not is_final, use_motion=use_motion, use_epi=use_epi,
                 has_attention=(i != 0),  # up_block 0 is UpBlock3D (no spatial attn)
                 cfg=cfg, name=f"up_blocks_{i}",
-            )(x, res_states, temb, encoder_hidden_states, pose_features[-(i + 1)], epi_cond)
+            )(x, res_states, temb, encoder_hidden_states,
+              pose_features[-(i + 1)], epi_cond, lora_scale=lora_scale)
             aux_all += aux
             prev_out = out_ch
 

@@ -45,12 +45,16 @@ def interleave_cfg(x: jnp.ndarray) -> jnp.ndarray:
 class AdvancedPipeline:
     def __init__(self, modules: PipelineModules, F_mat_size: int = 256,
                  rand_slope_ff: bool = True, mono_direction: bool = False,
-                 fix_firstframe: bool = False):
+                 fix_firstframe: bool = False,
+                 use_flash_kernel: Optional[bool] = None):
         self.m = modules
         self.F_mat_size = F_mat_size
         self.rand_slope_ff = rand_slope_ff
         self.mono_direction = mono_direction
         self.fix_firstframe = fix_firstframe
+        if use_flash_kernel is None:
+            use_flash_kernel = jax.default_backend() == "tpu"
+        self.use_flash_kernel = use_flash_kernel
         self._jitted = {}
 
     def __call__(
@@ -131,6 +135,7 @@ class AdvancedPipeline:
                     rand_slope_ff=self.rand_slope_ff, cfg_factor=2,
                     mono_direction=self.mono_direction,
                     fix_firstframe=self.fix_firstframe,
+                    use_flash_kernel=self.use_flash_kernel,
                 )
             if V == 2 and F_mats is not None:
                 Frows = F_mats.reshape(V * F, 3, 3)[row_v * F + row_f]
@@ -139,6 +144,7 @@ class AdvancedPipeline:
                     rand_slope_ff=self.rand_slope_ff, cfg_factor=2,
                     mono_direction=self.mono_direction,
                     fix_firstframe=self.fix_firstframe,
+                    use_flash_kernel=self.use_flash_kernel,
                 )
             # N-view: sample a pairing, compute F on device (:636-647)
             partner = random_pairing(pair_key, V)
@@ -153,6 +159,7 @@ class AdvancedPipeline:
                 F_mat_size=self.F_mat_size, rand_slope_ff=self.rand_slope_ff,
                 cfg_factor=2, mono_direction=self.mono_direction,
                 fix_firstframe=self.fix_firstframe,
+                use_flash_kernel=self.use_flash_kernel,
             )
 
         def guided_eps(lat, t, key):

@@ -27,10 +27,13 @@ class SimplePipeline:
     """2-view, fixed-pair generation with epipolar sync."""
 
     def __init__(self, modules: PipelineModules, F_mat_size: int = 256,
-                 rand_slope_ff: bool = True):
+                 rand_slope_ff: bool = True, use_flash_kernel: Optional[bool] = None):
         self.m = modules
         self.F_mat_size = F_mat_size
         self.rand_slope_ff = rand_slope_ff
+        if use_flash_kernel is None:
+            use_flash_kernel = jax.default_backend() == "tpu"
+        self.use_flash_kernel = use_flash_kernel
         self._jitted = {}
 
     def __call__(
@@ -89,6 +92,7 @@ class SimplePipeline:
             F_mat_size=self.F_mat_size,
             rand_slope_ff=self.rand_slope_ff,
             cfg_factor=2,
+            use_flash_kernel=self.use_flash_kernel,
         )
 
         rng, init_key = jax.random.split(rng)
