@@ -41,6 +41,8 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--bf16", action="store_true", help="bfloat16 activations")
     p.add_argument("--spatial_extended_attention", action="store_true")
     p.add_argument("--image_lora_rank", type=int, default=2)
+    p.add_argument("--model_config", default=None,
+                   help="reference-format model config yaml")
 
 
 def build_modules(args, video_length: int, image_size: int) -> Tuple[PipelineModules, object]:
@@ -73,15 +75,34 @@ def build_modules(args, video_length: int, image_size: int) -> Tuple[PipelineMod
     if args.image_lora_ckpt:
         r = getattr(args, "image_lora_rank", 2)
         lora_rank = r if r > 16 else -r  # negative => per-layer channels//r
-    modules = PipelineModules.create(
-        unet_config=UNetConfig(
+
+    scheduler = None
+    pose_encoder_kwargs = None
+    if getattr(args, "model_config", None):
+        from cvd_tpu.io.model_config import load_model_config
+
+        unet_cfg, pose_encoder_kwargs, scheduler, _extra = load_model_config(
+            args.model_config, dtype=dtype, F_mat_size=image_size
+        )
+        unet_cfg = dataclasses.replace(
+            unet_cfg,
+            pose_scale=args.pose_adaptor_scale,
+            spatial_extended_attention=getattr(args, "spatial_extended_attention", False),
+            spatial_lora_rank=lora_rank,
+        )
+    else:
+        unet_cfg = UNetConfig(
             pose_scale=args.pose_adaptor_scale,
             spatial_extended_attention=getattr(args, "spatial_extended_attention", False),
             spatial_lora_rank=lora_rank,
             dtype=dtype,
-        ),
+        )
+    modules = PipelineModules.create(
+        unet_config=unet_cfg,
         vae_config=dataclasses.replace(VAEConfig(), dtype=dtype),
         clip_config=CLIPTextConfig(),
+        pose_encoder_kwargs=pose_encoder_kwargs,
+        scheduler=scheduler,
         latent_size=image_size // 8,
         video_length=video_length,
     )

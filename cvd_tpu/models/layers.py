@@ -299,6 +299,53 @@ class Upsample2D(nn.Module):
         return Conv2d(self.out_channels, 3, 1, 1, dtype=self.dtype, name="conv")(x)
 
 
+class FusionBlock2D(nn.Module):
+    """First-frame feature fusion (reference resnet.py:49-260, behind the
+    fuse_first_frame flag): concat(first frame, frame_t) -> 1x1 resnet
+    emitting (scale_1, scale_2, shift) with zero-init output, modulating
+
+        out_t = scale_1 * first + (1 + scale_2) * frame_t + shift
+
+    Input  first [B, 1, H, W, C], post [B, F-1, H, W, C], temb [B, Ct];
+    returns the fused post frames.
+    """
+
+    channels: int
+    temb_channels: int = 1280
+    groups: int = 32
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, first, post, temb):
+        B, Fm1 = post.shape[:2]
+        C = self.channels
+        rep_first = jnp.broadcast_to(first, post.shape)
+        h = jnp.concatenate([rep_first, post], axis=-1)  # [B, F-1, H, W, 2C]
+        h = h.reshape((B * Fm1,) + h.shape[2:])
+        inp = h
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         dtype=self.dtype, name="norm1")(h)
+        h = nn.silu(h)
+        h = Conv2d(3 * C, 1, 1, 0, dtype=self.dtype, name="conv1")(h)
+        t = nn.Dense(3 * C, dtype=self.dtype, name="time_emb_proj")(
+            nn.silu(jnp.repeat(temb, Fm1, axis=0))
+        )
+        h = h + t[:, None, None, :]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                         dtype=self.dtype, name="norm2")(h)
+        h = nn.silu(h)
+        h = Conv2d(3 * C, 1, 1, 0, dtype=self.dtype, name="conv2")(h)
+        short = Conv2d(3 * C, 1, 1, 0, dtype=self.dtype, name="conv_shortcut")(inp)
+        h = short + h
+        h = nn.Conv(3 * C, (1, 1), kernel_init=nn.initializers.zeros,
+                    bias_init=nn.initializers.zeros, dtype=self.dtype,
+                    name="conv_out")(h)
+        h = h.reshape((B, Fm1) + h.shape[1:])
+        scale_1, scale_2, shift = jnp.split(h, 3, axis=-1)
+        return scale_1 * rep_first + (1.0 + scale_2) * post + shift
+
+
 class BasicTransformerBlock(nn.Module):
     """diffusers BasicTransformerBlock (spatial): self attn, cross attn, ff.
 

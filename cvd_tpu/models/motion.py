@@ -29,6 +29,41 @@ from cvd_tpu.models.layers import (
 )
 
 
+def causal_temporal_mask(kind: str, length: int) -> jnp.ndarray:
+    """Temporal attention mask variants (motion_module.py:315-368):
+    causal / 2-seq / 0-prev / 0 / wo-self / circle. Returns an additive
+    float mask [length, length] (0 allowed, -inf blocked)."""
+    import numpy as np
+
+    i = np.arange(length)
+    if kind == "causal":
+        m = np.tril(np.ones((length, length)))
+    elif kind == "2-seq":
+        m = np.zeros((length, length))
+        m[: length // 2, : length // 2] = 1
+        m[-(length // 2):, -(length // 2):] = 1
+    elif kind == "0-prev":
+        prev = np.maximum(i - 1, 0)
+        m = np.zeros((length, length))
+        m[:, 0] = 1
+        m[i, prev] = 1
+    elif kind == "0":
+        m = np.zeros((length, length))
+        m[:, 0] = 1
+    elif kind == "wo-self":
+        m = np.ones((length, length))
+        m[i, i] = 0
+    elif kind == "circle":
+        prev = np.maximum(i - 1, 0)
+        m = np.eye(length)
+        m[i, prev] = 1
+        m[0, -1] = 1
+    else:
+        raise ValueError(kind)
+    out = np.where(m == 0, -np.inf, 0.0).astype(np.float32)
+    return jnp.asarray(out)
+
+
 class TemporalSelfAttention(nn.Module):
     """One temporal attention: sinusoidal PE + optional pose conditioning.
 
@@ -40,6 +75,7 @@ class TemporalSelfAttention(nn.Module):
     pe_max_len: int = 32
     pose_conditioned: bool = False
     pose_scale: float = 1.0
+    causal_mask_type: str = ""
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -70,7 +106,11 @@ class TemporalSelfAttention(nn.Module):
         q = q.reshape(B, HW, F, self.heads, head_dim).transpose(0, 1, 3, 2, 4)
         k = k.reshape(B, HW, F, self.heads, head_dim).transpose(0, 1, 3, 2, 4)
         v = v.reshape(B, HW, F, self.heads, head_dim).transpose(0, 1, 3, 2, 4)
-        out = scaled_dot_product_attention(q, k, v)
+        bias = (
+            causal_temporal_mask(self.causal_mask_type, F)
+            if self.causal_mask_type else None
+        )
+        out = scaled_dot_product_attention(q, k, v, bias)
         out = out.transpose(0, 1, 3, 2, 4).reshape(B, HW, F, C)
         return nn.Dense(C, dtype=self.dtype, name="to_out_0")(out)
 
@@ -85,6 +125,7 @@ class TemporalTransformerBlock(nn.Module):
     pe_max_len: int = 32
     pose_cond_indices: Tuple[int, ...] = (0,)
     pose_scale: float = 1.0
+    causal_mask_type: str = ""
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -100,6 +141,7 @@ class TemporalTransformerBlock(nn.Module):
                     self.pe_max_len,
                     pose_conditioned=i in self.pose_cond_indices,
                     pose_scale=self.pose_scale,
+                    causal_mask_type=self.causal_mask_type,
                     dtype=self.dtype,
                     name=f"attention_blocks_{i}",
                 )(h, pose_feature)
@@ -128,6 +170,7 @@ class TemporalTransformer(nn.Module):
     pose_scale: float = 1.0
     norm_groups: int = 32
     zero_initialize: bool = False
+    causal_mask_type: str = ""
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -152,6 +195,7 @@ class TemporalTransformer(nn.Module):
                 self.pe_max_len,
                 self.pose_cond_indices,
                 self.pose_scale,
+                causal_mask_type=self.causal_mask_type,
                 dtype=self.dtype,
                 name=f"transformer_blocks_{i}",
             )(h, pose_feature)

@@ -28,6 +28,7 @@ from cvd_tpu.models.epi import EpiConditioning, EpiTransformer
 from cvd_tpu.models.layers import (
     Conv2d,
     Downsample2D,
+    FusionBlock2D,
     ResnetBlock2D,
     TimestepEmbedding,
     Transformer2DModel,
@@ -69,6 +70,8 @@ class UNetConfig:
     # >0: fixed LoRA rank; <0: per-layer rank = channels // (-value)
     # (reference rank rule, unet.py:1028); 0: no LoRA params
     spatial_lora_rank: int = 0
+    # first-frame feature fusion (unet.py:107,141-153; off in released configs)
+    fuse_first_frame: bool = False
     # auxiliary q/k output channels for the epipolar training loss
     additional_channel: int = 0
     dtype: Any = jnp.float32
@@ -346,6 +349,11 @@ class UNet3DConditionModel(nn.Module):
         x = _unfold(
             Conv2d(ch[0], 3, 1, 1, dtype=cfg.dtype, name="conv_in")(_fold(sample)), B
         )
+        if cfg.fuse_first_frame:
+            fused = FusionBlock2D(ch[0], dtype=cfg.dtype, name="down_fusers_0")(
+                x[:, :1], x[:, 1:], temb
+            )
+            x = jnp.concatenate([x[:, :1], fused], axis=1)
 
         res_stack: List[jnp.ndarray] = [x]
         aux_all: List[dict] = []
@@ -386,6 +394,12 @@ class UNet3DConditionModel(nn.Module):
         )(x, temb, encoder_hidden_states, pose_features[-1], epi_cond,
           lora_scale=lora_scale)
         aux_all += aux
+
+        if cfg.fuse_first_frame:
+            fused = FusionBlock2D(ch[-1], dtype=cfg.dtype, name="mid_fuser")(
+                x[:, :1], x[:, 1:], temb
+            )
+            x = jnp.concatenate([x[:, :1], fused], axis=1)
 
         if mid_block_additional_residual is not None:
             x = x + mid_block_additional_residual

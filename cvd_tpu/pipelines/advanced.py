@@ -93,27 +93,28 @@ class AdvancedPipeline:
                 )
             )
         return self._jitted[key](
-            prompt_ids, negative_ids, plucker, c2w, K_mats, F_mats, H_mats, rng, latents
+            self.m.params_bundle(), prompt_ids, negative_ids, plucker, c2w,
+            K_mats, F_mats, H_mats, rng, latents,
         )
 
     # ------------------------------------------------------------------ #
 
     def _run(
-        self, prompt_ids, negative_ids, plucker, c2w, K_mats, F_mats, H_mats,
-        rng, latents=None, *, num_inference_steps, guidance_scale, multistep,
-        accumulate_step, decode,
+        self, params, prompt_ids, negative_ids, plucker, c2w, K_mats, F_mats,
+        H_mats, rng, latents=None, *, num_inference_steps, guidance_scale,
+        multistep, accumulate_step, decode,
     ):
         m = self.m
         sched_state = m.scheduler.set_timesteps(num_inference_steps)
         V, F, H, W, _ = plucker.shape
         h, w = H // 8, W // 8
 
-        uncond, cond = encode_prompt(m, prompt_ids, negative_ids)
+        uncond, cond = encode_prompt(m, params["clip"], prompt_ids, negative_ids)
         # interleaved rows: [u, c] x V
         text = jnp.concatenate([uncond, cond], axis=0)
         text = jnp.tile(text, (V, 1, 1))
 
-        pose_feats = m.pose_encoder.apply(m.pose_encoder_params, plucker)
+        pose_feats = m.pose_encoder.apply(params["pose"], plucker)
         pose_feats = [interleave_cfg(p) for p in pose_feats]
 
         rng, init_key = jax.random.split(rng)
@@ -168,7 +169,7 @@ class AdvancedPipeline:
             lat_in = interleave_cfg(lat)
             lat_in = m.scheduler.scale_model_input(lat_in, t)
             eps, _ = m.unet.apply(
-                m.unet_params, lat_in, t, text, pose_feats, cond_t,
+                params["unet"], lat_in, t, text, pose_feats, cond_t,
                 rngs={"epi_slope": slope_key},
             )
             return eps[0::2] + guidance_scale * (eps[1::2] - eps[0::2])
@@ -218,4 +219,4 @@ class AdvancedPipeline:
         )
         if not decode:
             return latents
-        return decode_latents(m, latents)
+        return decode_latents(m, params["vae"], latents)

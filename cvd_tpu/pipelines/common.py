@@ -36,6 +36,16 @@ class PipelineModules:
     clip_params: Dict
     pose_encoder_params: Dict
 
+    def params_bundle(self) -> Dict:
+        """All param trees as ONE pytree — passed into jitted programs as an
+        argument so weights are device buffers, never compile-time constants."""
+        return {
+            "unet": self.unet_params,
+            "vae": self.vae_params,
+            "clip": self.clip_params,
+            "pose": self.pose_encoder_params,
+        }
+
     @classmethod
     def create(
         cls,
@@ -102,16 +112,20 @@ class PipelineModules:
 
 
 def encode_prompt(
-    modules: PipelineModules, prompt_ids: jnp.ndarray, negative_ids: jnp.ndarray
+    modules: PipelineModules,
+    clip_params: Dict,
+    prompt_ids: jnp.ndarray,
+    negative_ids: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """-> (uncond, cond) embeddings, each [B, 77, 768]."""
-    cond = modules.clip.apply(modules.clip_params, prompt_ids)
-    uncond = modules.clip.apply(modules.clip_params, negative_ids)
+    cond = modules.clip.apply(clip_params, prompt_ids)
+    uncond = modules.clip.apply(clip_params, negative_ids)
     return uncond, cond
 
 
 def decode_latents(
-    modules: PipelineModules, latents: jnp.ndarray, frame_chunk: int = 8
+    modules: PipelineModules, vae_params: Dict, latents: jnp.ndarray,
+    frame_chunk: int = 8,
 ) -> jnp.ndarray:
     """[B, F, h, w, 4] latents -> [B, F, H, W, 3] images in [0, 1].
 
@@ -125,7 +139,7 @@ def decode_latents(
     if pad:
         flat = jnp.concatenate([flat, jnp.zeros((pad,) + flat.shape[1:], flat.dtype)])
     chunks = flat.reshape(-1, frame_chunk, h, w, c)
-    decode = lambda z: modules.vae.apply(modules.vae_params, z, method=modules.vae.decode)
+    decode = lambda z: modules.vae.apply(vae_params, z, method=modules.vae.decode)
     imgs = jax.lax.map(decode, chunks)
     imgs = imgs.reshape(-1, *imgs.shape[2:])[:n]
     imgs = jnp.clip(imgs / 2 + 0.5, 0.0, 1.0)
@@ -133,10 +147,8 @@ def decode_latents(
 
 
 def encode_images(
-    modules: PipelineModules, images: jnp.ndarray, rng: jax.Array
+    modules: PipelineModules, vae_params: Dict, images: jnp.ndarray, rng: jax.Array
 ) -> jnp.ndarray:
     """[N, H, W, 3] in [-1, 1] -> latents [N, H/8, W/8, 4] (sampled, scaled)."""
-    z = modules.vae.apply(
-        modules.vae_params, images, rng, method=modules.vae.sample_posterior
-    )
+    z = modules.vae.apply(vae_params, images, rng, method=modules.vae.sample_posterior)
     return z * VAE_SCALE

@@ -60,10 +60,13 @@ class SimplePipeline:
                     decode=decode,
                 )
             )
-        return self._jitted[key](prompt_ids, negative_ids, plucker, F_mats, rng, latents)
+        return self._jitted[key](
+            self.m.params_bundle(), prompt_ids, negative_ids, plucker, F_mats,
+            rng, latents,
+        )
 
     def _run(
-        self, prompt_ids, negative_ids, plucker, F_mats, rng,
+        self, params, prompt_ids, negative_ids, plucker, F_mats, rng,
         latents=None, *, num_inference_steps, guidance_scale, decode,
     ):
         m = self.m
@@ -72,11 +75,11 @@ class SimplePipeline:
         assert V == 2, "SimplePipeline is the fixed 2-view sampler"
         h, w = H // 8, W // 8
 
-        uncond, cond = encode_prompt(m, prompt_ids, negative_ids)
+        uncond, cond = encode_prompt(m, params["clip"], prompt_ids, negative_ids)
         # rows: [uncond-src, cond-src, uncond-tgt, cond-tgt]
         text = jnp.concatenate([uncond, cond, uncond, cond], axis=0)
 
-        pose_feats = m.pose_encoder.apply(m.pose_encoder_params, plucker)
+        pose_feats = m.pose_encoder.apply(params["pose"], plucker)
         # chunk-ordered CFG duplication: [src, src, tgt, tgt]
         pose_feats = [
             jnp.concatenate([p[:1], p[:1], p[1:], p[1:]], axis=0) for p in pose_feats
@@ -106,7 +109,7 @@ class SimplePipeline:
             lat_in = jnp.concatenate([lat[:1], lat[:1], lat[1:], lat[1:]], axis=0)
             lat_in = m.scheduler.scale_model_input(lat_in, t)
             eps, _ = m.unet.apply(
-                m.unet_params, lat_in, t, text, pose_feats, epi_cond,
+                params["unet"], lat_in, t, text, pose_feats, epi_cond,
                 rngs={"epi_slope": sk},
             )
             # chunk(4): uncond rows (0, 2), cond rows (1, 3)  (reference :642-646)
@@ -119,4 +122,4 @@ class SimplePipeline:
         (latents, _), _ = jax.lax.scan(step, (latents, rng), sched_state.timesteps)
         if not decode:
             return latents
-        return decode_latents(m, latents)
+        return decode_latents(m, params["vae"], latents)

@@ -23,6 +23,7 @@ def train_step(
     batch: Dict[str, jnp.ndarray],
     modules: PipelineModules,
     rng: jax.Array,
+    frozen_params: Optional[Dict] = None,
     F_mat_size: int = 256,
     rand_slope_ff: bool = True,
     epi_loss_weight: float = 0.002,
@@ -40,6 +41,12 @@ def train_step(
       F_mats           [B, F, 3, 3]      (or H_mats + warped_masks)
     """
     m = modules
+    # frozen (non-trained) param trees; pass explicitly so jit treats them as
+    # device buffers, not multi-GB compile-time constants
+    if frozen_params is None:
+        frozen_params = {
+            "vae": m.vae_params, "clip": m.clip_params, "pose": m.pose_encoder_params,
+        }
     sched = m.scheduler.set_timesteps(50)  # state only used for add_noise tables
     rng, eps_key, t_key, slope_key, vae_key = jax.random.split(rng, 5)
 
@@ -49,7 +56,7 @@ def train_step(
         px = batch["pixel_values"]
         B, F = px.shape[:2]
         flat = px.reshape((B * F,) + px.shape[2:])
-        z = m.vae.apply(m.vae_params, flat, vae_key, method=m.vae.sample_posterior)
+        z = m.vae.apply(frozen_params["vae"], flat, vae_key, method=m.vae.sample_posterior)
         latents = (z * VAE_SCALE).reshape((B, F) + z.shape[1:])
     B, F = latents.shape[:2]
 
@@ -57,9 +64,9 @@ def train_step(
     timesteps = jax.random.randint(t_key, (B,), 0, num_train_timesteps)
     noisy = m.scheduler.add_noise(sched, latents, noise, timesteps)
 
-    text = m.clip.apply(m.clip_params, batch["text_ids"])
+    text = m.clip.apply(frozen_params["clip"], batch["text_ids"])
 
-    pose_feats = m.pose_encoder.apply(m.pose_encoder_params, batch["plucker"])
+    pose_feats = m.pose_encoder.apply(frozen_params["pose"], batch["plucker"])
 
     F_mats = batch.get("F_mats")
     H_mats = batch.get("H_mats")
@@ -97,18 +104,28 @@ def train_step(
 
 def make_jitted_train_step(modules: PipelineModules, mesh=None, **kwargs):
     """jit the step; with a mesh, donate state and shard the batch axis."""
-    def step(state, batch, rng):
-        return train_step(state, batch, modules, rng, **kwargs)
+    frozen = {
+        "vae": modules.vae_params,
+        "clip": modules.clip_params,
+        "pose": modules.pose_encoder_params,
+    }
+
+    def step(state, batch, rng, frozen_params):
+        return train_step(state, batch, modules, rng, frozen_params, **kwargs)
+
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0,))
+        jitted = jax.jit(step, donate_argnums=(0,))
+        return lambda state, batch, rng: jitted(state, batch, rng, frozen)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     replicated = NamedSharding(mesh, P())
     batched = NamedSharding(mesh, P("data"))
-    return jax.jit(
+    frozen = jax.device_put(frozen, replicated)
+    jitted = jax.jit(
         step,
         donate_argnums=(0,),
-        in_shardings=(replicated, batched, replicated),
+        in_shardings=(replicated, batched, replicated, replicated),
         out_shardings=(replicated, replicated),
     )
+    return lambda state, batch, rng: jitted(state, batch, rng, frozen)
