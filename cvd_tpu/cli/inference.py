@@ -56,12 +56,20 @@ def main(args):
         rand_slope_ff=True,
     )
 
+    # total frames with multidiff sliding windows (reference
+    # pipeline_animation_epi.py:548 — window length = --video_length)
+    F_total = (
+        args.multidiff_total_steps * (args.video_length - args.multidiff_overlaps)
+        + args.multidiff_overlaps
+        if args.multidiff_total_steps > 1
+        else args.video_length
+    )
     dataset = ValRealEstate10KPoseFolded(
         validation_prompts=captions,
         validation_negative_prompts=negatives,
         pose_file_0=args.pose_file_0,
         pose_file_1=args.pose_file_1,
-        sample_n_frames=args.video_length,
+        sample_n_frames=F_total,
         sample_size=args.image_height,
     )
 
@@ -71,11 +79,10 @@ def main(args):
         prompt_ids = jnp.asarray(tokenizer([sample["validation_prompt"]]))
         neg = sample.get("validation_negative_prompt", "")
         neg_ids = jnp.asarray(tokenizer([neg]))
-        F = args.video_length
         plucker = jnp.asarray(sample["plucker_embedding"], jnp.float32).reshape(
-            2, F, args.image_height, args.image_height, 6
+            2, F_total, args.image_height, args.image_height, 6
         )
-        F_mats = jnp.asarray(sample["F_mats"], jnp.float32).reshape(2, F, 3, 3)
+        F_mats = jnp.asarray(sample["F_mats"], jnp.float32).reshape(2, F_total, 3, 3)
 
         logger.info(f"[{idx}] {sample['validation_prompt']!r} seed={seed}")
         videos = np.asarray(
@@ -84,6 +91,9 @@ def main(args):
                 num_inference_steps=args.num_inference_steps,
                 guidance_scale=args.guidance_scale,
                 rng=jax.random.key(seed),
+                multidiff_total_steps=args.multidiff_total_steps,
+                multidiff_overlaps=args.multidiff_overlaps,
+                window_length=args.video_length,
             )
         )  # [2, F, H, W, 3]
 
@@ -115,6 +125,12 @@ def build_parser():
     p.add_argument("--video_length", type=int, default=16)
     add_model_args(p)
     p.add_argument("--num_inference_steps", type=int, default=25)
+    p.add_argument(
+        "--multidiff_total_steps", type=int, default=1,
+        help="sliding denoise windows for videos longer than --video_length "
+             "(total frames = steps*(video_length-overlaps)+overlaps)",
+    )
+    p.add_argument("--multidiff_overlaps", type=int, default=12)
     p.add_argument("--guidance_scale", type=float, default=8.5)
     p.add_argument("--caption_file", required=True)
     p.add_argument("--use_negative_prompt", action="store_true")

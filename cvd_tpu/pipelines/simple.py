@@ -40,17 +40,28 @@ class SimplePipeline:
         self,
         prompt_ids,  # [1, 77] int32
         negative_ids,  # [1, 77] int32
-        plucker,  # [2, F, H, W, 6]
-        F_mats,  # [2, F, 3, 3] folded pair mats (video-major)
+        plucker,  # [2, F_total, H, W, 6]
+        F_mats,  # [2, F_total, 3, 3] folded pair mats (video-major)
         num_inference_steps: int = 25,
         guidance_scale: float = 8.5,
         rng: Optional[jax.Array] = None,
         latents: Optional[jnp.ndarray] = None,
         decode: bool = True,
+        multidiff_total_steps: int = 1,
+        multidiff_overlaps: int = 12,
+        window_length: Optional[int] = None,
     ):
-        """Returns images [2, F, H, W, 3] in [0,1] (or raw latents)."""
+        """Returns images [2, F_total, H, W, 3] in [0,1] (or raw latents).
+
+        With multidiff_total_steps > 1, videos longer than the model window
+        are denoised with overlap-averaged sliding windows — the reference
+        scaffolds this but force-disables it (pipeline_animation_epi.py:509);
+        here it is functional. F_total = steps*(window-overlap)+overlap.
+        """
         rng = rng if rng is not None else jax.random.key(0)
-        key = (num_inference_steps, float(guidance_scale), decode, latents is None)
+        key = (num_inference_steps, float(guidance_scale), decode,
+               latents is None, multidiff_total_steps, multidiff_overlaps,
+               window_length)
         if key not in self._jitted:
             self._jitted[key] = jax.jit(
                 partial(
@@ -58,6 +69,9 @@ class SimplePipeline:
                     num_inference_steps=num_inference_steps,
                     guidance_scale=float(guidance_scale),
                     decode=decode,
+                    multidiff_total_steps=multidiff_total_steps,
+                    multidiff_overlaps=multidiff_overlaps,
+                    window_length=window_length,
                 )
             )
         return self._jitted[key](
@@ -68,55 +82,89 @@ class SimplePipeline:
     def _run(
         self, params, prompt_ids, negative_ids, plucker, F_mats, rng,
         latents=None, *, num_inference_steps, guidance_scale, decode,
+        multidiff_total_steps=1, multidiff_overlaps=12, window_length=None,
     ):
         m = self.m
         sched_state = m.scheduler.set_timesteps(num_inference_steps)
-        V, F, H, W, _ = plucker.shape
+        V, F_total, H, W, _ = plucker.shape
         assert V == 2, "SimplePipeline is the fixed 2-view sampler"
         h, w = H // 8, W // 8
+        if window_length is None:
+            window_length = (
+                F_total if multidiff_total_steps == 1
+                else (F_total - multidiff_overlaps) // multidiff_total_steps
+                + multidiff_overlaps
+            )
+        Fw = window_length
+        stride = Fw - multidiff_overlaps
+        assert multidiff_total_steps == 1 or (
+            (multidiff_total_steps - 1) * stride + Fw == F_total
+        ), "frames must equal steps*(window-overlap)+overlap"
 
         uncond, cond = encode_prompt(m, params["clip"], prompt_ids, negative_ids)
         # rows: [uncond-src, cond-src, uncond-tgt, cond-tgt]
         text = jnp.concatenate([uncond, cond, uncond, cond], axis=0)
 
-        pose_feats = m.pose_encoder.apply(params["pose"], plucker)
+        pose_feats_full = m.pose_encoder.apply(params["pose"], plucker)
         # chunk-ordered CFG duplication: [src, src, tgt, tgt]
-        pose_feats = [
-            jnp.concatenate([p[:1], p[:1], p[1:], p[1:]], axis=0) for p in pose_feats
+        pose_feats_full = [
+            jnp.concatenate([p[:1], p[:1], p[1:], p[1:]], axis=0)
+            for p in pose_feats_full
         ]
-
-        # F mats per flattened (video*cfg, frame) row
-        F4 = jnp.concatenate(
+        F4_full = jnp.concatenate(
             [F_mats[:1], F_mats[:1], F_mats[1:], F_mats[1:]], axis=0
-        ).reshape(4 * F, 3, 3)
-        epi_cond = EpiConditioning(
-            F_mats=F4,
-            video_length=F,
-            F_mat_size=self.F_mat_size,
-            rand_slope_ff=self.rand_slope_ff,
-            cfg_factor=2,
-            use_flash_kernel=self.use_flash_kernel,
-        )
+        )  # [4, F_total, 3, 3]
+
+        def window_cond(start):
+            pf = [p[:, start : start + Fw] for p in pose_feats_full]
+            F4 = F4_full[:, start : start + Fw].reshape(4 * Fw, 3, 3)
+            cond_w = EpiConditioning(
+                F_mats=F4,
+                video_length=Fw,
+                F_mat_size=self.F_mat_size,
+                rand_slope_ff=self.rand_slope_ff,
+                cfg_factor=2,
+                use_flash_kernel=self.use_flash_kernel,
+            )
+            return pf, cond_w
 
         rng, init_key = jax.random.split(rng)
         if latents is None:
-            latents = jax.random.normal(init_key, (2, F, h, w, 4), jnp.float32)
+            latents = jax.random.normal(init_key, (2, F_total, h, w, 4), jnp.float32)
         latents = latents * m.scheduler.init_noise_sigma
 
-        def step(carry, t):
-            lat, k = carry
-            k, sk = jax.random.split(k)
-            lat_in = jnp.concatenate([lat[:1], lat[:1], lat[1:], lat[1:]], axis=0)
+        # overlap-average weights (reference mask_full, :609-653)
+        counts = jnp.zeros((F_total,))
+        for widx in range(multidiff_total_steps):
+            s = widx * stride
+            counts = counts.at[s : s + Fw].add(1.0)
+        inv_counts = (1.0 / counts)[None, :, None, None, None]
+
+        def eps_window(lat_w, t, sk, pf, cond_w):
+            lat_in = jnp.concatenate(
+                [lat_w[:1], lat_w[:1], lat_w[1:], lat_w[1:]], axis=0
+            )
             lat_in = m.scheduler.scale_model_input(lat_in, t)
             eps, _ = m.unet.apply(
-                params["unet"], lat_in, t, text, pose_feats, epi_cond,
+                params["unet"], lat_in, t, text, pf, cond_w,
                 rngs={"epi_slope": sk},
             )
             # chunk(4): uncond rows (0, 2), cond rows (1, 3)  (reference :642-646)
             eps_uncond = jnp.stack([eps[0], eps[2]])
             eps_text = jnp.stack([eps[1], eps[3]])
-            eps_g = eps_uncond + guidance_scale * (eps_text - eps_uncond)
-            lat = m.scheduler.step(sched_state, eps_g, t, lat)
+            return eps_uncond + guidance_scale * (eps_text - eps_uncond)
+
+        def step(carry, t):
+            lat, k = carry
+            eps_full = jnp.zeros_like(lat)
+            for widx in range(multidiff_total_steps):
+                s = widx * stride
+                k, sk = jax.random.split(k)
+                pf, cond_w = window_cond(s)
+                eps_w = eps_window(lat[:, s : s + Fw], t, sk, pf, cond_w)
+                eps_full = eps_full.at[:, s : s + Fw].add(eps_w)
+            eps_full = eps_full * inv_counts
+            lat = m.scheduler.step(sched_state, eps_full, t, lat)
             return (lat, k), None
 
         (latents, _), _ = jax.lax.scan(step, (latents, rng), sched_state.timesteps)

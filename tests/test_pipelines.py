@@ -118,3 +118,32 @@ def test_random_pairing_is_perfect_matching():
         partner = np.asarray(random_pairing(jax.random.key(seed), 6))
         assert (partner[partner] == np.arange(6)).all()
         assert (partner != np.arange(6)).all()
+
+
+def test_simple_pipeline_multidiff_long_video(modules, prompts):
+    # 2 windows of 2 frames with overlap 1 -> 3 total frames
+    V, Fw, ov, steps = 2, 2, 1, 2
+    F_total = 2 * (Fw - ov) + ov  # 3
+    c2ws = G.circle_trajectory(V, F_total, camera_dist=0.3)
+    from cvd_tpu.geometry.trajectories import default_intrinsics as DI
+
+    K = DI(V, F_total, IMG, IMG)
+    intr = np.stack([K[:, 0, 0], K[:, 1, 1], K[:, 0, 2], K[:, 1, 2]], -1)
+    plucker = G.ray_condition(
+        jnp.asarray(intr, jnp.float32)[None], jnp.asarray(c2ws, jnp.float32)[None],
+        IMG, IMG,
+    )[0].reshape(V, F_total, IMG, IMG, 6)
+    Fp = G.fundamental_between_views(
+        jnp.asarray(c2ws[:F_total], jnp.float32), jnp.asarray(c2ws[F_total:], jnp.float32),
+        jnp.asarray(K[:F_total], jnp.float32), jnp.asarray(K[F_total:], jnp.float32),
+    )
+    F_mats = jnp.stack([Fp, jnp.swapaxes(Fp, -1, -2)])
+    ids, neg = prompts
+    pipe = SimplePipeline(modules)
+    out = pipe(
+        ids, neg, plucker, F_mats, num_inference_steps=steps,
+        rng=jax.random.key(7), multidiff_total_steps=2, multidiff_overlaps=ov,
+        window_length=Fw,
+    )
+    assert out.shape == (2, F_total, IMG, IMG, 3)
+    assert np.isfinite(np.asarray(out)).all()
