@@ -16,9 +16,24 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def _sync(x):
+    """Force completion: device_get a corner of the result. Needed because
+    block_until_ready over the remote-TPU tunnel can return early."""
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    _ = np.asarray(leaf[(0,) * leaf.ndim])
+    return x
+
+
+def _note(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
 def main():
@@ -62,12 +77,14 @@ def main():
         vae_cfg = VAEConfig(dtype=dtype)
         clip_cfg = CLIPTextConfig()
 
+    _note("building modules (random weights)")
     t0 = time.time()
     modules = PipelineModules.create(
         unet_config=unet_cfg, vae_config=vae_cfg, clip_config=clip_cfg,
         latent_size=args.size // 8, video_length=args.frames,
     )
     init_s = time.time() - t0
+    _note(f"init done in {init_s:.1f}s")
 
     V, F, IMG = 2, args.frames, args.size
     c2ws = G.circle_trajectory(V, F, camera_dist=0.4)
@@ -88,31 +105,33 @@ def main():
 
     pipe = SimplePipeline(modules, F_mat_size=IMG)
 
+    _note("compiling end-to-end pipeline")
     t0 = time.time()
     out = pipe(ids, neg, plucker, F_mats, num_inference_steps=args.steps,
                rng=jax.random.key(0))
-    jax.block_until_ready(out)
+    _sync(out)
     compile_s = time.time() - t0
+    _note(f"compile done in {compile_s:.1f}s")
 
     times = []
     for i in range(args.repeats):
         t0 = time.time()
         out = pipe(ids, neg, plucker, F_mats, num_inference_steps=args.steps,
                    rng=jax.random.key(i + 1))
-        jax.block_until_ready(out)
+        _sync(out)
         times.append(time.time() - t0)
+        _note(f"e2e repeat {i}: {times[-1]:.2f}s")
     e2e_s = float(np.median(times))
 
     # denoise-only (no VAE decode) to expose UNet step time
-    t0 = time.time()
+    _note("compiling denoise-only variant")
     lat = pipe(ids, neg, plucker, F_mats, num_inference_steps=args.steps,
                rng=jax.random.key(0), decode=False)
-    jax.block_until_ready(lat)
-    _ = time.time() - t0  # compile
+    _sync(lat)
     t0 = time.time()
     lat = pipe(ids, neg, plucker, F_mats, num_inference_steps=args.steps,
                rng=jax.random.key(1), decode=False)
-    jax.block_until_ready(lat)
+    _sync(lat)
     denoise_s = time.time() - t0
 
     videos_per_min = V / e2e_s * 60.0

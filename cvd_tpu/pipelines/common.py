@@ -77,34 +77,35 @@ class PipelineModules:
 
         B, F, s = 2, video_length, latent_size
         ch = unet_config.block_out_channels
-        with jax.default_device(jax.local_devices(backend="cpu")[0]):
-            init_unet = jax.jit(
-                partial(
-                    unet.init,
-                    sample=jnp.zeros((B, F, s, s, 4)),
-                    timesteps=jnp.zeros((B,), jnp.int32),
-                    encoder_hidden_states=jnp.zeros(
-                        (B, 77, unet_config.cross_attention_dim)
-                    ),
-                    pose_features=[
-                        jnp.zeros((B, F, s // (2**i), s // (2**i), ch[i]))
-                        for i in range(4)
-                    ],
-                    epi_cond=EpiConditioning(
-                        F_mats=jnp.zeros((B * F, 3, 3)),
-                        video_length=F,
-                        rand_slope_ff=False,
-                    ),
-                )
+        # init on the default backend: XLA-CPU compilation of the full-size
+        # UNet takes tens of minutes, the TPU compiles it in seconds
+        init_unet = jax.jit(
+            partial(
+                unet.init,
+                sample=jnp.zeros((B, F, s, s, 4)),
+                timesteps=jnp.zeros((B,), jnp.int32),
+                encoder_hidden_states=jnp.zeros(
+                    (B, 77, unet_config.cross_attention_dim)
+                ),
+                pose_features=[
+                    jnp.zeros((B, F, s // (2**i), s // (2**i), ch[i]))
+                    for i in range(4)
+                ],
+                epi_cond=EpiConditioning(
+                    F_mats=jnp.zeros((B * F, 3, 3)),
+                    video_length=F,
+                    rand_slope_ff=False,
+                ),
             )
-            unet_params = init_unet({"params": k1})
-            vae_params = jax.jit(vae.init)(
-                k2, jnp.zeros((1, 8 * s, 8 * s, 3)), jax.random.key(0)
-            )
-            clip_params = jax.jit(clip.init)(k3, jnp.zeros((1, 77), jnp.int32))
-            pose_encoder_params = jax.jit(pose_encoder.init)(
-                k4, jnp.zeros((1, F, 8 * s, 8 * s, 6))
-            )
+        )
+        unet_params = init_unet({"params": k1})
+        vae_params = jax.jit(vae.init)(
+            k2, jnp.zeros((1, 8 * s, 8 * s, 3)), jax.random.key(0)
+        )
+        clip_params = jax.jit(clip.init)(k3, jnp.zeros((1, 77), jnp.int32))
+        pose_encoder_params = jax.jit(pose_encoder.init)(
+            k4, jnp.zeros((1, F, 8 * s, 8 * s, 6))
+        )
         return cls(
             unet, vae, clip, pose_encoder, scheduler or DDIMScheduler(),
             unet_params, vae_params, clip_params, pose_encoder_params,

@@ -28,6 +28,7 @@ def train_step(
     rand_slope_ff: bool = True,
     epi_loss_weight: float = 0.002,
     num_train_timesteps: int = 1000,
+    use_flash_kernel: Optional[bool] = None,
 ):
     """One optimization step.
 
@@ -78,6 +79,11 @@ def train_step(
         F_mat_size=F_mat_size,
         rand_slope_ff=rand_slope_ff,
         cfg_factor=1,
+        # fused Pallas path is differentiable (custom_vjp in ops/epi_flash.py)
+        use_flash_kernel=(
+            jax.default_backend() == "tpu"
+            if use_flash_kernel is None else use_flash_kernel
+        ),
     )
 
     def loss_fn(params):

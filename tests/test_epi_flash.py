@@ -53,3 +53,54 @@ def test_flash_path_in_epi_module_matches_xla_path():
     np.testing.assert_allclose(
         np.asarray(out_flash), np.asarray(out_xla), rtol=2e-3, atol=2e-3
     )
+
+
+def test_flash_gradients_match_xla_reference():
+    rng = np.random.default_rng(2)
+    feat, heads, dim = 16, 2, 32
+    B, N, S = 2, 16 * 16, 256
+    q = jnp.asarray(rng.standard_normal((B, heads, N, dim)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, heads, N, dim)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, heads, N, dim)), jnp.float32)
+    F = jnp.asarray(rng.standard_normal((B, 3, 3)) * 1e-3, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((B, heads, N, dim)), jnp.float32)
+
+    coords = pixel_grid_coords(feat, S)
+    lines = epipolar_lines(F, coords)
+    bias = epipolar_attn_bias_from_lines(lines, coords, feat, S)
+    norm_lines, band, alpha = lines_and_band(lines, feat, S)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_with_bias(q, k, v, jax.lax.stop_gradient(bias)) * g)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(
+            epi_flash_attention(q, k, v, norm_lines, coords, band, alpha, q_tile=128) * g
+        )
+
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_flash_geometry_inputs_get_zero_grads():
+    rng = np.random.default_rng(3)
+    feat, heads, dim = 16, 1, 16
+    B, N, S = 1, 16 * 16, 256
+    q = jnp.asarray(rng.standard_normal((B, heads, N, dim)), jnp.float32)
+    F = jnp.asarray(rng.standard_normal((B, 3, 3)) * 1e-3, jnp.float32)
+    coords = pixel_grid_coords(feat, S)
+    lines = epipolar_lines(F, coords)
+    norm_lines, band, alpha = lines_and_band(lines, feat, S)
+
+    def loss(nl, bd, al):
+        return jnp.sum(epi_flash_attention(q, q, q, nl, coords, bd, al, q_tile=128))
+
+    gl, gb, ga = jax.grad(loss, argnums=(0, 1, 2))(norm_lines, band, alpha)
+    assert float(jnp.abs(gl).max()) == 0.0
+    assert float(jnp.abs(gb).max()) == 0.0
+    assert float(jnp.abs(ga).max()) == 0.0
