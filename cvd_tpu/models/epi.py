@@ -33,7 +33,7 @@ from cvd_tpu.geometry.epipolar_mask import (
     pixel_grid_coords,
     pseudo_lines,
 )
-from cvd_tpu.models.layers import Attention, FeedForward
+from cvd_tpu.models.layers import FusedGroupNorm, Attention, FeedForward
 from cvd_tpu.ops.attention import attention_with_bias
 
 
@@ -266,7 +266,7 @@ class EpiTransformer(nn.Module):
     def __call__(self, x: jnp.ndarray, cond: Optional[EpiConditioning]):
         B, F, H, W, C = x.shape
         residual = x
-        h = nn.GroupNorm(
+        h = FusedGroupNorm(
             num_groups=self.norm_groups, epsilon=1e-6, dtype=self.dtype, name="norm"
         )(x.reshape(B * F, H, W, C))
         h = h.reshape(B * F, H * W, C)

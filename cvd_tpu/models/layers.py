@@ -66,6 +66,29 @@ class TimestepEmbedding(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="linear_2")(x)
 
 
+class FusedGroupNorm(nn.Module):
+    """Drop-in nn.GroupNorm (same ``scale``/``bias`` params) routed through
+    the fused Pallas kernel on TPU (cvd_tpu.ops.norms — GroupNorm was the
+    UNet's largest single cost under XLA's layout choices). ``act='silu'``
+    folds the activation that follows most UNet GroupNorms into the pass."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+    act: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from cvd_tpu.ops.norms import group_norm
+
+        C = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        return group_norm(
+            x, scale, bias, self.num_groups, self.epsilon, act=self.act
+        )
+
+
 class GroupNorm(nn.Module):
     """GroupNorm over the channel (last) axis; matches torch.nn.GroupNorm."""
 
@@ -75,8 +98,10 @@ class GroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return nn.GroupNorm(
-            num_groups=self.num_groups, epsilon=self.eps, dtype=self.dtype
+        # name keeps the param path identical to the previous nn.GroupNorm
+        return FusedGroupNorm(
+            num_groups=self.num_groups, epsilon=self.eps, dtype=self.dtype,
+            name="GroupNorm_0",
         )(x)
 
 
@@ -113,13 +138,29 @@ class FeedForward(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(h)
 
 
+# trace-time switch: mesh-sharded pipelines set this False while tracing —
+# a pallas_call under GSPMD would force its operands to gather/replicate
+FLASH_SPATIAL = True
+
+
 def scaled_dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     bias: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Reference attention math (softmax in f32): q,k,v [..., heads, L, D]."""
+    """Reference attention math (softmax in f32): q,k,v [..., heads, L, D].
+
+    On TPU, big bias-free attentions route to the fused Pallas kernel —
+    the XLA path writes [B,H,L,L] logits + f32 softmax tensors to HBM
+    (~8.6ms per N=1024 attention on v5e; the kernel keeps them in VMEM).
+    """
+    if (FLASH_SPATIAL and bias is None and q.ndim == 4
+            and jax.default_backend() == "tpu"):
+        from cvd_tpu.ops.epi_flash import flash_attention, flash_supported
+
+        if flash_supported(q.shape[2], k.shape[2], q.shape[3]):
+            return flash_attention(q, k, v)
     scale = 1.0 / math.sqrt(q.shape[-1])
     precision = "highest" if q.dtype == jnp.float32 else None
     logits = jnp.einsum("...qd,...kd->...qk", q, k, precision=precision) * scale
@@ -259,13 +300,13 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         residual = x
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
+        h = FusedGroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
         h = nn.silu(h)
         h = Conv2d(self.out_channels, 3, 1, 1, dtype=self.dtype, name="conv1")(h)
         if self.use_time_emb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=self.dtype, name="norm2")(h)
+        h = FusedGroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
         h = Conv2d(self.out_channels, 3, 1, 1, dtype=self.dtype, name="conv2")(h)
         if residual.shape[-1] != self.out_channels:
@@ -324,16 +365,16 @@ class FusionBlock2D(nn.Module):
         h = jnp.concatenate([rep_first, post], axis=-1)  # [B, F-1, H, W, 2C]
         h = h.reshape((B * Fm1,) + h.shape[2:])
         inp = h
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         dtype=self.dtype, name="norm1")(h)
+        h = FusedGroupNorm(num_groups=self.groups, epsilon=self.eps,
+                            dtype=self.dtype, name="norm1")(h)
         h = nn.silu(h)
         h = Conv2d(3 * C, 1, 1, 0, dtype=self.dtype, name="conv1")(h)
         t = nn.Dense(3 * C, dtype=self.dtype, name="time_emb_proj")(
             nn.silu(jnp.repeat(temb, Fm1, axis=0))
         )
         h = h + t[:, None, None, :]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         dtype=self.dtype, name="norm2")(h)
+        h = FusedGroupNorm(num_groups=self.groups, epsilon=self.eps,
+                            dtype=self.dtype, name="norm2")(h)
         h = nn.silu(h)
         h = Conv2d(3 * C, 1, 1, 0, dtype=self.dtype, name="conv2")(h)
         short = Conv2d(3 * C, 1, 1, 0, dtype=self.dtype, name="conv_shortcut")(inp)
@@ -414,7 +455,7 @@ class Transformer2DModel(nn.Module):
         N, H, W, C = x.shape
         inner = self.heads * self.dim_head
         residual = x
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        h = FusedGroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         h = Conv2d(inner, 1, 1, 0, dtype=self.dtype, name="proj_in")(h)
         h = h.reshape(N, H * W, inner)
         for i in range(self.depth):

@@ -22,8 +22,7 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from cvd_tpu.models.layers import (
-    FeedForward,
+from cvd_tpu.models.layers import (FusedGroupNorm, FeedForward,
     scaled_dot_product_attention,
     temporal_positional_encoding,
 )
@@ -179,7 +178,7 @@ class TemporalTransformer(nn.Module):
     ) -> jnp.ndarray:
         B, F, H, W, C = x.shape
         residual = x
-        h = nn.GroupNorm(
+        h = FusedGroupNorm(
             num_groups=self.norm_groups, epsilon=1e-6, dtype=self.dtype, name="norm"
         )(x.reshape(B * F, H, W, C)).reshape(B, F, H, W, C)
         # [B, F, H, W, C] -> [B, HW, F, C]

@@ -25,8 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from cvd_tpu.models.epi import EpiConditioning, EpiTransformer
-from cvd_tpu.models.layers import (
-    Conv2d,
+from cvd_tpu.models.layers import (FusedGroupNorm, Conv2d,
     Downsample2D,
     FusionBlock2D,
     ResnetBlock2D,
@@ -428,7 +427,7 @@ class UNet3DConditionModel(nn.Module):
             prev_out = out_ch
 
         # out: frame-wise GroupNorm (unet.py:1422-1424), silu, conv
-        h = nn.GroupNorm(
+        h = FusedGroupNorm(
             num_groups=cfg.norm_num_groups, epsilon=1e-5, dtype=cfg.dtype,
             name="conv_norm_out",
         )(_fold(x))

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from cvd_tpu.models.layers import Conv2d, ResnetBlock2D, Upsample2D
+from cvd_tpu.models.layers import FusedGroupNorm, Conv2d, ResnetBlock2D, Upsample2D
 
 
 @dataclasses.dataclass(frozen=True)
@@ -43,7 +43,7 @@ class VAEAttention(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         N, H, W, C = x.shape
         residual = x
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="group_norm")(x)
+        h = FusedGroupNorm(num_groups=self.groups, epsilon=1e-6, dtype=self.dtype, name="group_norm")(x)
         h = h.reshape(N, H * W, C)
         q = nn.Dense(C, dtype=self.dtype, name="to_q")(h)
         k = nn.Dense(C, dtype=self.dtype, name="to_k")(h)
@@ -128,7 +128,7 @@ class Encoder(nn.Module):
             x = _DownBlock(c, cfg.layers_per_block, i < len(ch) - 1,
                            cfg.norm_num_groups, cfg.dtype, name=f"down_blocks_{i}")(x)
         x = _MidBlock(ch[-1], cfg.norm_num_groups, cfg.dtype, name="mid_block")(x)
-        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
+        x = FusedGroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
                          dtype=cfg.dtype, name="conv_norm_out")(x)
         x = nn.silu(x)
         return Conv2d(2 * cfg.latent_channels, 3, 1, 1, dtype=cfg.dtype, name="conv_out")(x)
@@ -146,7 +146,7 @@ class Decoder(nn.Module):
         for i, c in enumerate(ch):
             x = _UpBlock(c, cfg.layers_per_block + 1, i < len(ch) - 1,
                          cfg.norm_num_groups, cfg.dtype, name=f"up_blocks_{i}")(x)
-        x = nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
+        x = FusedGroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
                          dtype=cfg.dtype, name="conv_norm_out")(x)
         x = nn.silu(x)
         return Conv2d(cfg.out_channels, 3, 1, 1, dtype=cfg.dtype, name="conv_out")(x)

@@ -13,6 +13,7 @@ mesh as an argument so topology is a runtime choice, not a code path.
 """
 from __future__ import annotations
 
+import math
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -58,3 +59,32 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
 
 def batch_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+
+def inference_mesh(
+    n_devices: Optional[int] = None,
+    rows: int = 4,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """("rows", "frames") mesh for sharded sampling.
+
+    The UNet batch rows (views x CFG — 4 in the simple pipeline, 2V in the
+    advanced one) shard over "rows"; the video frame axis shards over
+    "frames". Both are batch-like through every per-frame op; only the
+    motion module's temporal attention communicates across "frames" (XLA
+    inserts the collectives). The reference has no multi-device inference
+    at all (SURVEY.md §2.5).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = n_devices or len(devices)
+    rows = math.gcd(rows, n)
+    return create_mesh((rows, n // rows), ("rows", "frames"), devices=devices[:n])
+
+
+def constrain(x, mesh: Optional[Mesh], *axis_names: Optional[str]):
+    """with_sharding_constraint mapping leading dims to named mesh axes
+    (None = replicated dim). No-op without a mesh."""
+    if mesh is None:
+        return x
+    spec = P(*axis_names, *([None] * (x.ndim - len(axis_names))))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))

@@ -46,15 +46,19 @@ class AdvancedPipeline:
     def __init__(self, modules: PipelineModules, F_mat_size: int = 256,
                  rand_slope_ff: bool = True, mono_direction: bool = False,
                  fix_firstframe: bool = False,
-                 use_flash_kernel: Optional[bool] = None):
+                 use_flash_kernel: Optional[bool] = None, mesh=None):
+        """mesh: optional ("rows", "frames") mesh (parallel.inference_mesh)
+        sharding the 2V CFG rows + frame axis; sharded runs use the XLA epi
+        path (the Pallas kernel is single-device)."""
         self.m = modules
         self.F_mat_size = F_mat_size
         self.rand_slope_ff = rand_slope_ff
         self.mono_direction = mono_direction
         self.fix_firstframe = fix_firstframe
         if use_flash_kernel is None:
-            use_flash_kernel = jax.default_backend() == "tpu"
-        self.use_flash_kernel = use_flash_kernel
+            use_flash_kernel = jax.default_backend() == "tpu" and mesh is None
+        self.use_flash_kernel = use_flash_kernel and mesh is None
+        self.mesh = mesh
         self._jitted = {}
 
     def __call__(
@@ -114,8 +118,13 @@ class AdvancedPipeline:
         text = jnp.concatenate([uncond, cond], axis=0)
         text = jnp.tile(text, (V, 1, 1))
 
+        from cvd_tpu.parallel import constrain as _constrain
+
         pose_feats = m.pose_encoder.apply(params["pose"], plucker)
-        pose_feats = [interleave_cfg(p) for p in pose_feats]
+        pose_feats = [
+            _constrain(interleave_cfg(p), self.mesh, "rows", "frames")
+            for p in pose_feats
+        ]
 
         rng, init_key = jax.random.split(rng)
         if latents is None:
@@ -163,10 +172,16 @@ class AdvancedPipeline:
                 use_flash_kernel=self.use_flash_kernel,
             )
 
+        from cvd_tpu.models import layers as _layers
+        from cvd_tpu.parallel import constrain
+
+        _layers.FLASH_SPATIAL = self.mesh is None
+
         def guided_eps(lat, t, key):
             pair_key, slope_key = jax.random.split(key)
             cond_t = make_cond(pair_key)
             lat_in = interleave_cfg(lat)
+            lat_in = constrain(lat_in, self.mesh, "rows", "frames")
             lat_in = m.scheduler.scale_model_input(lat_in, t)
             eps, _ = m.unet.apply(
                 params["unet"], lat_in, t, text, pose_feats, cond_t,

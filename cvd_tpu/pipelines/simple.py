@@ -27,13 +27,20 @@ class SimplePipeline:
     """2-view, fixed-pair generation with epipolar sync."""
 
     def __init__(self, modules: PipelineModules, F_mat_size: int = 256,
-                 rand_slope_ff: bool = True, use_flash_kernel: Optional[bool] = None):
+                 rand_slope_ff: bool = True, use_flash_kernel: Optional[bool] = None,
+                 mesh=None):
+        """mesh: optional ("rows", "frames") jax.sharding.Mesh
+        (cvd_tpu.parallel.inference_mesh) — shards the 4 CFG rows and the
+        frame axis across devices inside the one jitted program. The Pallas
+        epi kernel is single-device; sharded runs use the XLA epi path.
+        """
         self.m = modules
         self.F_mat_size = F_mat_size
         self.rand_slope_ff = rand_slope_ff
         if use_flash_kernel is None:
-            use_flash_kernel = jax.default_backend() == "tpu"
-        self.use_flash_kernel = use_flash_kernel
+            use_flash_kernel = jax.default_backend() == "tpu" and mesh is None
+        self.use_flash_kernel = use_flash_kernel and mesh is None
+        self.mesh = mesh
         self._jitted = {}
 
     def __call__(
@@ -140,10 +147,19 @@ class SimplePipeline:
             counts = counts.at[s : s + Fw].add(1.0)
         inv_counts = (1.0 / counts)[None, :, None, None, None]
 
+        from cvd_tpu.models import layers as _layers
+        from cvd_tpu.parallel import constrain
+
+        # trace-time: sharded programs keep spatial attention on the XLA
+        # path (pallas_call operands would gather under GSPMD)
+        _layers.FLASH_SPATIAL = self.mesh is None
+
         def eps_window(lat_w, t, sk, pf, cond_w):
             lat_in = jnp.concatenate(
                 [lat_w[:1], lat_w[:1], lat_w[1:], lat_w[1:]], axis=0
             )
+            lat_in = constrain(lat_in, self.mesh, "rows", "frames")
+            pf = [constrain(p, self.mesh, "rows", "frames") for p in pf]
             lat_in = m.scheduler.scale_model_input(lat_in, t)
             eps, _ = m.unet.apply(
                 params["unet"], lat_in, t, text, pf, cond_w,

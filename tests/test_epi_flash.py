@@ -104,3 +104,28 @@ def test_flash_geometry_inputs_get_zero_grads():
     assert float(jnp.abs(gl).max()) == 0.0
     assert float(jnp.abs(gb).max()) == 0.0
     assert float(jnp.abs(ga).max()) == 0.0
+
+
+def test_plain_flash_matches_xla_and_grads():
+    from cvd_tpu.ops.epi_flash import flash_attention
+
+    rng = np.random.default_rng(5)
+    B, H, L, D = 2, 3, 256, 24
+    q = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, 2 * L, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, 2 * L, D)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((B, H, L, D)), jnp.float32)
+
+    ref = attention_with_bias(q, k, v, None)
+    got = flash_attention(q, k, v, q_tile=128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+    gr = jax.grad(lambda *a: jnp.sum(attention_with_bias(*a, None) * g),
+                  argnums=(0, 1, 2))(q, k, v)
+    gf = jax.grad(lambda *a: jnp.sum(flash_attention(*a, q_tile=128) * g),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gf, gr, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
+            err_msg=f"d{name} mismatch",
+        )

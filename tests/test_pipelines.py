@@ -147,3 +147,34 @@ def test_simple_pipeline_multidiff_long_video(modules, prompts):
     )
     assert out.shape == (2, F_total, IMG, IMG, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_simple_pipeline_sharded_matches_unsharded(modules, camera_inputs, prompts):
+    """Sharded sampling over a ("rows","frames") mesh == single-device run."""
+    from cvd_tpu.parallel import inference_mesh
+
+    plucker, F_mats, _, _ = camera_inputs
+    ids, neg = prompts
+    ref = SimplePipeline(modules)(
+        ids, neg, plucker, F_mats, num_inference_steps=2, rng=jax.random.key(3)
+    )
+    mesh = inference_mesh(8)  # 4 rows x 2 frames on the virtual CPU mesh
+    assert mesh.shape == {"rows": 4, "frames": 2}
+    pipe = SimplePipeline(modules, mesh=mesh)
+    out = pipe(ids, neg, plucker, F_mats, num_inference_steps=2, rng=jax.random.key(3))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_advanced_pipeline_sharded_runs(modules, camera_inputs, prompts):
+    from cvd_tpu.parallel import inference_mesh
+
+    plucker, F_mats, c2ws, K = camera_inputs
+    ids, neg = prompts
+    mesh = inference_mesh(8)
+    pipe = AdvancedPipeline(modules, mesh=mesh)
+    out = pipe(
+        ids, neg, plucker, F_mats=F_mats, num_inference_steps=2,
+        rng=jax.random.key(1),
+    )
+    assert out.shape == (2, F_FRAMES, IMG, IMG, 3)
+    assert np.isfinite(np.asarray(out)).all()
