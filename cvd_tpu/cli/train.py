@@ -89,10 +89,21 @@ def main(args):
     from cvd_tpu.train.train_step import make_jitted_train_step
     from cvd_tpu.utils.logging import MetricsLogger, format_time, setup_logger
 
+    if getattr(args, "multihost", False):
+        # multi-host rendezvous (replaces the reference's NCCL/SLURM
+        # init_dist, train_epi_control.py:41-69) — coordinator discovery is
+        # automatic on TPU pods / SLURM / GKE
+        jax.distributed.initialize()
+
     cfg = load_config(args.config)
     out_dir = cfg.get("output_dir", "runs/train")
     os.makedirs(out_dir, exist_ok=True)
     logger = setup_logger(out_dir, process_index=jax.process_index())
+    if jax.process_index() == 0:
+        # config snapshot (train_epi_control.py:175-186)
+        import shutil
+
+        shutil.copy(args.config, os.path.join(out_dir, "config.yaml"))
     metrics_log = MetricsLogger(out_dir, enabled=jax.process_index() == 0)
 
     # -- models -------------------------------------------------------------
@@ -233,6 +244,8 @@ def main(args):
 def build_parser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--config", required=True)
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed for multi-host training")
     return p
 
 

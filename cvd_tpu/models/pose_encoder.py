@@ -79,7 +79,7 @@ class CameraPoseEncoder(nn.Module):
                 )(x)
                 # temporal attention over frames at each pixel
                 n, h, w, c = x.shape
-                tokens = x.reshape(B, F, h * w, c).transpose(0, 2, 1, 3)
+                tokens = x.reshape(B, F, h * w, c)
                 tokens = TemporalTransformerBlock(
                     c,
                     self.temporal_attention_nhead,
@@ -89,6 +89,6 @@ class CameraPoseEncoder(nn.Module):
                     dtype=self.dtype,
                     name=f"encoder_down_attention_blocks_{i}_{j}",
                 )(tokens)
-                x = tokens.transpose(0, 2, 1, 3).reshape(n, h, w, c)
+                x = tokens.reshape(n, h, w, c)
             features.append(x.reshape(B, F, h, w, c))
         return tuple(features)

@@ -95,3 +95,51 @@ def check_fundamental(
             dist = np.abs(a * xx + b * yy + c) / np.hypot(a, b)
             img2[dist < 1.5] = color
     return np.concatenate([img1, img2], axis=1)
+
+
+def visualize_correspondence(
+    videos: np.ndarray,  # [2, F, H, W, 3] in [0,1]
+    aux: dict,           # one epi-layer {"query": [B*F, N, C], "key": [B*F, N, C]}
+    F_mats: np.ndarray,  # [F, 3, 3] view1->view2 per frame
+    frame: Optional[int] = None,
+    n_points: int = 6,
+    rng: Optional[random.Random] = None,
+) -> np.ndarray:
+    """Debug image of the LEARNED cross-video correspondences.
+
+    Re-derivation of the reference's missing ``tools/visualize_correspondence``
+    (called at train_epi_control.py:469 with (sample, aux, F_mats)): for a few
+    query pixels in view 1, find the argmax q.k match in view 2 from the epi
+    attention's aux query/key maps, draw the match, and overlay the true
+    epipolar line — learned correspondences should fall on the line.
+    """
+    rng = rng or random.Random(0)
+    videos = np.asarray(videos, np.float32)
+    _, F_len, H, W, _ = videos.shape
+    f = F_len // 2 if frame is None else frame
+    q = np.asarray(aux["query"], np.float32)
+    k = np.asarray(aux["key"], np.float32)
+    # rows are (video-major, frame); view-1 query row f attends to view-2 keys
+    qf, kf = q[f], k[f]                        # [N, C] each
+    N = qf.shape[0]
+    feat = int(round(N ** 0.5))
+    sim = qf @ kf.T                            # [N, N]
+    best = sim.argmax(axis=1)                  # per-query argmax key
+
+    img1 = (np.clip(videos[0, f], 0, 1) * 255).astype(np.uint8).copy()
+    img2 = (np.clip(videos[1, f], 0, 1) * 255).astype(np.uint8).copy()
+    s = H / feat
+    yy, xx = np.ogrid[:H, :W]
+    Fm = np.asarray(F_mats, np.float64)[f]
+    for _ in range(n_points):
+        color = [rng.randrange(256) for _ in range(3)]
+        qi = rng.randrange(N)
+        qx, qy = (qi % feat + 0.5) * s, (qi // feat + 0.5) * s
+        mx, my = (best[qi] % feat + 0.5) * s, (best[qi] // feat + 0.5) * s
+        img1[(yy - qy) ** 2 + (xx - qx) ** 2 <= 25] = color
+        img2[(yy - my) ** 2 + (xx - mx) ** 2 <= 25] = color
+        a, b, c = Fm @ np.array([qx, qy, 1.0])
+        if (abs(a) + abs(b)) > 1e-8:
+            dist = np.abs(a * xx + b * yy + c) / np.hypot(a, b)
+            img2[dist < 1.2] = color
+    return np.concatenate([img1, img2], axis=1)

@@ -75,3 +75,21 @@ def test_check_fundamental_overlay():
     F = np.array([[0, 0, 0], [0, 0, -1], [0, 1, 0.0]])
     out = check_fundamental(img, img, F)
     assert out.shape == (32, 64, 3) and out.dtype == np.uint8
+
+
+def test_visualize_correspondence_overlay():
+    import numpy as np
+
+    from cvd_tpu.utils.visualize import visualize_correspondence
+
+    rng = np.random.default_rng(0)
+    F_len, H, feat = 4, 32, 8
+    videos = rng.random((2, F_len, H, H, 3)).astype(np.float32)
+    N = feat * feat
+    aux = {
+        "query": rng.standard_normal((2 * F_len, N, 16)).astype(np.float32),
+        "key": rng.standard_normal((2 * F_len, N, 16)).astype(np.float32),
+    }
+    F_mats = rng.standard_normal((F_len, 3, 3)).astype(np.float32) * 1e-3
+    img = visualize_correspondence(videos, aux, F_mats)
+    assert img.shape == (H, 2 * H, 3) and img.dtype == np.uint8
