@@ -300,14 +300,14 @@ class ResnetBlock2D(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         residual = x
-        h = FusedGroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=self.dtype, name="norm1")(x)
-        h = nn.silu(h)
+        h = FusedGroupNorm(num_groups=self.groups, epsilon=self.eps,
+                           dtype=self.dtype, act="silu", name="norm1")(x)
         h = Conv2d(self.out_channels, 3, 1, 1, dtype=self.dtype, name="conv1")(h)
         if self.use_time_emb and temb is not None:
             t = nn.Dense(self.out_channels, dtype=self.dtype, name="time_emb_proj")(nn.silu(temb))
             h = h + t[:, None, None, :]
-        h = FusedGroupNorm(num_groups=self.groups, epsilon=self.eps, dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+        h = FusedGroupNorm(num_groups=self.groups, epsilon=self.eps,
+                           dtype=self.dtype, act="silu", name="norm2")(h)
         h = Conv2d(self.out_channels, 3, 1, 1, dtype=self.dtype, name="conv2")(h)
         if residual.shape[-1] != self.out_channels:
             residual = Conv2d(
@@ -366,16 +366,14 @@ class FusionBlock2D(nn.Module):
         h = h.reshape((B * Fm1,) + h.shape[2:])
         inp = h
         h = FusedGroupNorm(num_groups=self.groups, epsilon=self.eps,
-                            dtype=self.dtype, name="norm1")(h)
-        h = nn.silu(h)
+                           dtype=self.dtype, act="silu", name="norm1")(h)
         h = Conv2d(3 * C, 1, 1, 0, dtype=self.dtype, name="conv1")(h)
         t = nn.Dense(3 * C, dtype=self.dtype, name="time_emb_proj")(
             nn.silu(jnp.repeat(temb, Fm1, axis=0))
         )
         h = h + t[:, None, None, :]
         h = FusedGroupNorm(num_groups=self.groups, epsilon=self.eps,
-                            dtype=self.dtype, name="norm2")(h)
-        h = nn.silu(h)
+                           dtype=self.dtype, act="silu", name="norm2")(h)
         h = Conv2d(3 * C, 1, 1, 0, dtype=self.dtype, name="conv2")(h)
         short = Conv2d(3 * C, 1, 1, 0, dtype=self.dtype, name="conv_shortcut")(inp)
         h = short + h

@@ -429,9 +429,8 @@ class UNet3DConditionModel(nn.Module):
         # out: frame-wise GroupNorm (unet.py:1422-1424), silu, conv
         h = FusedGroupNorm(
             num_groups=cfg.norm_num_groups, epsilon=1e-5, dtype=cfg.dtype,
-            name="conv_norm_out",
+            act="silu", name="conv_norm_out",
         )(_fold(x))
-        h = nn.silu(h)
         out = Conv2d(cfg.out_channels, 3, 1, 1, dtype=cfg.dtype, name="conv_out")(h)
         out = _unfold(out, B)
 

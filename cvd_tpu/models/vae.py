@@ -129,8 +129,7 @@ class Encoder(nn.Module):
                            cfg.norm_num_groups, cfg.dtype, name=f"down_blocks_{i}")(x)
         x = _MidBlock(ch[-1], cfg.norm_num_groups, cfg.dtype, name="mid_block")(x)
         x = FusedGroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
-                         dtype=cfg.dtype, name="conv_norm_out")(x)
-        x = nn.silu(x)
+                           dtype=cfg.dtype, act="silu", name="conv_norm_out")(x)
         return Conv2d(2 * cfg.latent_channels, 3, 1, 1, dtype=cfg.dtype, name="conv_out")(x)
 
 
@@ -147,8 +146,7 @@ class Decoder(nn.Module):
             x = _UpBlock(c, cfg.layers_per_block + 1, i < len(ch) - 1,
                          cfg.norm_num_groups, cfg.dtype, name=f"up_blocks_{i}")(x)
         x = FusedGroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
-                         dtype=cfg.dtype, name="conv_norm_out")(x)
-        x = nn.silu(x)
+                           dtype=cfg.dtype, act="silu", name="conv_norm_out")(x)
         return Conv2d(cfg.out_channels, 3, 1, 1, dtype=cfg.dtype, name="conv_out")(x)
 
 
