@@ -161,40 +161,57 @@ class EpiSelfAttention(nn.Module):
             )
             lines = _epi_lines(cond, B, feat_size, rng)
 
-        enc = gather_partner_tokens(x, kv_index)
-
         inner = C
+        head_dim = C // self.heads
         to_q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")
         to_k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")
         to_v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")
-        q_tok, k_tok = to_q(x), to_k(enc)
-        v_tok = to_v(enc)
-
-        head_dim = C // self.heads
-        q = q_tok.reshape(B, -1, self.heads, head_dim).transpose(0, 2, 1, 3)
-        k = k_tok.reshape(B, -1, self.heads, head_dim).transpose(0, 2, 1, 3)
-        v = v_tok.reshape(B, -1, self.heads, head_dim).transpose(0, 2, 1, 3)
+        q_tok = to_q(x)
 
         multi_group = (
             cond is not None
             and cond.kv_index is not None
             and cond.kv_index.shape[0] != B
         )
-        if (
+        use_kernel = (
             cond is not None
             and cond.use_flash_kernel
             and not multi_group
             and feat_size >= 16  # tiny grids: XLA wins, skip kernel launch
-        ):
-            # fused Pallas path: bias evaluated in VMEM from factored geometry
+        )
+        if use_kernel:
+            # fused Pallas path: project SOURCE rows, route the partner's
+            # k/v inside the kernel (BlockSpec index over kv_index — no
+            # materialized gather), bias evaluated in VMEM from factored
+            # geometry.
             from cvd_tpu.ops.epi_flash import epi_flash_attention
 
+            if kv_index is None:
+                half = B // 2
+                route = jnp.concatenate(
+                    [jnp.arange(half, B), jnp.arange(0, half)]
+                ).astype(jnp.int32)
+            else:
+                route = kv_index.astype(jnp.int32)
+            k_tok, v_tok = to_k(x), to_v(x)
             coords = pixel_grid_coords(feat_size, cond.F_mat_size)
+            coords_xy = coords[:, :2].T  # [2, N] key pixel x/y rows
             norm_lines, band, alpha = lines_and_band(
                 jax.lax.stop_gradient(lines), feat_size, cond.F_mat_size
             )
-            out = epi_flash_attention(q, k, v, norm_lines, coords, band, alpha)
+            out = epi_flash_attention(
+                q_tok, k_tok, v_tok, norm_lines, coords_xy, band, alpha,
+                heads=self.heads, kv_index=route,
+            )
+            # aux key map = gathered rows (dead code unless consumed, so
+            # inference pays nothing; training uses the last epi layer only)
+            k_tok = k_tok[route]
         else:
+            enc = gather_partner_tokens(x, kv_index)
+            k_tok, v_tok = to_k(enc), to_v(enc)
+            q = q_tok.reshape(B, -1, self.heads, head_dim).transpose(0, 2, 1, 3)
+            k = k_tok.reshape(B, -1, self.heads, head_dim).transpose(0, 2, 1, 3)
+            v = v_tok.reshape(B, -1, self.heads, head_dim).transpose(0, 2, 1, 3)
             bias = None
             if cond is not None:
                 coords = pixel_grid_coords(feat_size, cond.F_mat_size)
@@ -203,22 +220,22 @@ class EpiSelfAttention(nn.Module):
                 )
                 bias = regroup_bias(bias, B)
             out = attention_with_bias(q, k, v, bias)
+            out = out.transpose(0, 2, 1, 3).reshape(B, -1, inner)
 
         if cond is not None and cond.fix_firstframe:
             # average first-frame V across views, broadcast back
-            # (attention_processor.py:629-635)
-            v_self = to_v(x).reshape(B, -1, self.heads, head_dim).transpose(0, 2, 1, 3)
+            # (attention_processor.py:629-635); token layout [B, N, C]
+            v_self = to_v(x)
             f = cond.video_length
             t = cond.cfg_factor
             views = B // (t * f)
-            vr = v_self.reshape(views, t, f, self.heads, N, head_dim)
+            vr = v_self.reshape(views, t, f, N, inner)
             ff = jnp.mean(vr[:, :, 0:1], axis=0, keepdims=True)
             ff = jnp.broadcast_to(ff, vr[:, :, 0:1].shape)
-            out_r = out.reshape(views, t, f, self.heads, N, head_dim)
+            out_r = out.reshape(views, t, f, N, inner)
             out_r = out_r.at[:, :, 0:1].set(ff)
-            out = out_r.reshape(B, self.heads, N, head_dim)
+            out = out_r.reshape(B, N, inner)
 
-        out = out.transpose(0, 2, 1, 3).reshape(B, -1, inner)
         out = nn.Dense(C, dtype=self.dtype, name="to_out_0")(out)
         return out, {"query": q_tok, "key": k_tok}
 

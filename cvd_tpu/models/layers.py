@@ -151,16 +151,10 @@ def scaled_dot_product_attention(
 ) -> jnp.ndarray:
     """Reference attention math (softmax in f32): q,k,v [..., heads, L, D].
 
-    On TPU, big bias-free attentions route to the fused Pallas kernel —
-    the XLA path writes [B,H,L,L] logits + f32 softmax tensors to HBM
-    (~8.6ms per N=1024 attention on v5e; the kernel keeps them in VMEM).
+    Pure XLA path. Big bias-free attentions are routed to the fused Pallas
+    kernel by ``Attention`` BEFORE the head split (the kernel takes the
+    projections' native [B, L, C] layout, so no transpose copies).
     """
-    if (FLASH_SPATIAL and bias is None and q.ndim == 4
-            and jax.default_backend() == "tpu"):
-        from cvd_tpu.ops.epi_flash import flash_attention, flash_supported
-
-        if flash_supported(q.shape[2], k.shape[2], q.shape[3]):
-            return flash_attention(q, k, v)
     scale = 1.0 / math.sqrt(q.shape[-1])
     precision = "highest" if q.dtype == jnp.float32 else None
     logits = jnp.einsum("...qd,...kd->...qk", q, k, precision=precision) * scale
@@ -233,13 +227,24 @@ class Attention(nn.Module):
 
         B, Lq = q.shape[:2]
         Lk = k.shape[1]
-        q = q.reshape(B, Lq, self.heads, self.dim_head).transpose(0, 2, 1, 3)
-        k = k.reshape(B, Lk, self.heads, self.dim_head).transpose(0, 2, 1, 3)
-        v = v.reshape(B, Lk, self.heads, self.dim_head).transpose(0, 2, 1, 3)
-        if bias is not None and bias.ndim == 3:
-            bias = bias[:, None]
-        out = scaled_dot_product_attention(q, k, v, bias)
-        out = out.transpose(0, 2, 1, 3).reshape(B, Lq, inner)
+        use_kernel = False
+        if (FLASH_SPATIAL and bias is None
+                and jax.default_backend() == "tpu"):
+            from cvd_tpu.ops.epi_flash import flash_attention, flash_supported
+
+            use_kernel = flash_supported(Lq, Lk, inner, self.heads)
+        if use_kernel:
+            # fused kernel in the projections' native [B, L, C] layout —
+            # no [B,L,H,D]->[B,H,L,D] transpose copies in HBM
+            out = flash_attention(q, k, v, heads=self.heads)
+        else:
+            qh = q.reshape(B, Lq, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+            kh = k.reshape(B, Lk, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+            vh = v.reshape(B, Lk, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+            if bias is not None and bias.ndim == 3:
+                bias = bias[:, None]
+            out = scaled_dot_product_attention(qh, kh, vh, bias)
+            out = out.transpose(0, 2, 1, 3).reshape(B, Lq, inner)
         h = out
         out = nn.Dense(
             self.query_dim, use_bias=self.out_bias, dtype=self.dtype, name="to_out_0"

@@ -69,8 +69,12 @@ def causal_temporal_mask(kind: str, length: int) -> jnp.ndarray:
 class TemporalSelfAttention(nn.Module):
     """One temporal attention: sinusoidal PE + optional pose conditioning.
 
-    Input [B, F, N, C] (already layer-normed by the caller); attention runs
-    over the F axis with (B, N, heads) as einsum batch dims — no transposes.
+    Input [B, N, F, C] — PIXEL-major (already layer-normed by the caller).
+    Attention runs over the F axis per pixel. The pixel-major layout is what
+    lets the fused kernel read per-head [pixel, frame, dim] tiles with zero
+    relayouts; the reference's ``(b h w) f c`` rearrange
+    (motion_module.py:378) costs two HBM round trips of the full feature
+    map per module.
     """
 
     dim: int
@@ -85,10 +89,10 @@ class TemporalSelfAttention(nn.Module):
     def __call__(
         self, x: jnp.ndarray, pose_feature: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
-        B, F, N, C = x.shape
+        B, N, F, C = x.shape
         # positional encoding over the frame axis (motion_module.py:515-516)
         pe = temporal_positional_encoding(self.pe_max_len, C)[:, :F].astype(x.dtype)
-        x = x + pe[:, :, None]
+        x = x + pe  # [1, F, C] broadcasts over (B, N)
 
         if self.pose_conditioned and pose_feature is not None:
             # PoseAdaptorAttnProcessor qkv_merge (attention_processor.py:323-326)
@@ -105,25 +109,42 @@ class TemporalSelfAttention(nn.Module):
         q = nn.Dense(C, use_bias=False, dtype=self.dtype, name="to_q")(x)
         k = nn.Dense(C, use_bias=False, dtype=self.dtype, name="to_k")(x)
         v = nn.Dense(C, use_bias=False, dtype=self.dtype, name="to_v")(x)
-        q = q.reshape(B, F, N, self.heads, head_dim)
-        k = k.reshape(B, F, N, self.heads, head_dim)
-        v = v.reshape(B, F, N, self.heads, head_dim)
-        precision = "highest" if q.dtype == jnp.float32 else None
-        logits = jnp.einsum(
-            "bfnhd,bgnhd->bnhfg", q, k, precision=precision
-        ) * (1.0 / math.sqrt(head_dim))
-        logits = logits.astype(jnp.float32)
-        if self.causal_mask_type:
-            logits = logits + causal_temporal_mask(self.causal_mask_type, F)
-        probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bnhfg,bgnhd->bfnhd", probs, v, precision=precision)
-        out = out.reshape(B, F, N, C)
+
+        from cvd_tpu.models import layers as _layers
+        from cvd_tpu.ops.temporal_attn import (
+            temporal_flash_attention, temporal_flash_supported,
+        )
+
+        if (_layers.FLASH_SPATIAL and jax.default_backend() == "tpu"
+                and temporal_flash_supported(F, N, C, self.heads)):
+            # fused kernel: per-head [pixel-tile, F, D] blocks sliced
+            # straight out of the pixel-major tensor — zero relayouts
+            mask = (
+                causal_temporal_mask(self.causal_mask_type, F)
+                if self.causal_mask_type else None
+            )
+            out = temporal_flash_attention(q, k, v, mask, heads=self.heads)
+        else:
+            q = q.reshape(B, N, F, self.heads, head_dim)
+            k = k.reshape(B, N, F, self.heads, head_dim)
+            v = v.reshape(B, N, F, self.heads, head_dim)
+            precision = "highest" if q.dtype == jnp.float32 else None
+            logits = jnp.einsum(
+                "bnfhd,bnghd->bnhfg", q, k, precision=precision
+            ) * (1.0 / math.sqrt(head_dim))
+            logits = logits.astype(jnp.float32)
+            if self.causal_mask_type:
+                logits = logits + causal_temporal_mask(self.causal_mask_type, F)
+            probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bnhfg,bnghd->bnfhd", probs, v, precision=precision)
+            out = out.reshape(B, N, F, C)
         return nn.Dense(C, dtype=self.dtype, name="to_out_0")(out)
 
 
 class TemporalTransformerBlock(nn.Module):
     """N temporal attentions + feed-forward, pre-LN residual style
-    (motion_module.py:397-460)."""
+    (motion_module.py:397-460). Token layout [B, N, F, C] (pixel-major);
+    LN/FF are token-wise so only the attention cares."""
 
     dim: int
     heads: int
@@ -188,9 +209,14 @@ class TemporalTransformer(nn.Module):
         h = FusedGroupNorm(
             num_groups=self.norm_groups, epsilon=1e-6, dtype=self.dtype, name="norm"
         )(x.reshape(B * F, H, W, C)).reshape(B, F, H * W, C)
+        # pixel-major for the temporal blocks: one transpose in, one out
+        # (vs. per-attention relayouts inside XLA/the kernel)
+        h = jnp.swapaxes(h, 1, 2)  # [B, N, F, C]
         h = nn.Dense(C, dtype=self.dtype, name="proj_in")(h)
         if pose_feature is not None:
-            pose_feature = pose_feature.reshape(B, F, H * W, -1)
+            pose_feature = jnp.swapaxes(
+                pose_feature.reshape(B, F, H * W, -1), 1, 2
+            )
         for i in range(self.num_transformer_blocks):
             h = TemporalTransformerBlock(
                 C,
@@ -209,4 +235,5 @@ class TemporalTransformer(nn.Module):
         h = nn.Dense(
             C, kernel_init=proj_out_init, dtype=self.dtype, name="proj_out"
         )(h)
+        h = jnp.swapaxes(h, 1, 2)  # back to [B, F, N, C]
         return h.reshape(B, F, H, W, C) + residual

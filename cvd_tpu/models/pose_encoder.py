@@ -78,8 +78,9 @@ class CameraPoseEncoder(nn.Module):
                     name=f"encoder_down_conv_blocks_{i}_{j}",
                 )(x)
                 # temporal attention over frames at each pixel
+                # (pixel-major token layout, see models/motion.py)
                 n, h, w, c = x.shape
-                tokens = x.reshape(B, F, h * w, c)
+                tokens = jnp.swapaxes(x.reshape(B, F, h * w, c), 1, 2)
                 tokens = TemporalTransformerBlock(
                     c,
                     self.temporal_attention_nhead,
@@ -89,6 +90,6 @@ class CameraPoseEncoder(nn.Module):
                     dtype=self.dtype,
                     name=f"encoder_down_attention_blocks_{i}_{j}",
                 )(tokens)
-                x = tokens.reshape(n, h, w, c)
+                x = jnp.swapaxes(tokens, 1, 2).reshape(n, h, w, c)
             features.append(x.reshape(B, F, h, w, c))
         return tuple(features)

@@ -2,19 +2,28 @@
 
 Motivation (profiled on TPU v5e, 2-view 16f 256px UNet step): every
 N=1024 attention in XLA materializes bf16 logits [B,H,N,N] plus an f32
-softmax tensor in HBM — ~8.6 ms per attention, ~86 ms per UNet call across
-the ten res-1 spatial+epi attentions. The reference does the same through
-SDPA and additionally materializes the epipolar bias per call
-(epi_module.py:293-329, attention_processor.py:617-619).
+softmax tensor in HBM — ~4 ms per attention across the res-1 spatial+epi
+attentions. The reference does the same through SDPA and additionally
+materializes the epipolar bias per call (epi_module.py:293-329,
+attention_processor.py:617-619).
 
-These kernels keep everything in VMEM:
+Design (v2 — layout-native, routed):
 
-* bias (epi path) evaluated per q-tile from the factored geometry of
-  cvd_tpu.geometry.epipolar_mask.lines_and_band:
-      bias[q, k] = -relu(|l'_q . x_k| - band_b) * alpha_b
-  where l'_q are ab-normalized epipolar line coefficients (3 floats per
-  query) and x_k the key pixel coordinates — one [Tq,3]x[3,N] matmul per
-  tile, shared by all heads.
+* q/k/v/out are [B, N, C] with C = heads*head_dim — the NATIVE layout of
+  the qkv projections. The head split happens inside the kernel via static
+  lane slices; the [B,N,H,D]->[B,H,N,D] transposes that XLA had to emit
+  around the v1 custom call (~22 ms/UNet-step of pure copies) disappear.
+* cross-video partner routing is a BlockSpec index_map over a scalar-
+  prefetched kv row index (kv_index[b] = partner row of query row b), so
+  the kernel reads the partner's k/v straight from HBM. This replaces the
+  reference's chunk(2)-swap/gather (attention_processor.py:575-583), which
+  as an XLA concatenate cost a full [B,N,C] HBM round trip per attention.
+* the epipolar bias is evaluated per q-tile ON THE VPU from the factored
+  geometry of cvd_tpu.geometry.epipolar_mask.lines_and_band:
+      bias[q, k] = -relu(|a_q*x_k + b_q*y_k + c_q| - band_b) * alpha_b
+  as broadcast arithmetic ([Tq,1]x[1,N]), NOT as a [Tq,3]x[3,N] matmul —
+  a K=3 contraction pads to K=128 on the MXU and costs ~40% of a full
+  QK^T pass for 2% of its FLOPs.
 * one grid step processes ALL heads of one batch row (heads looped inside
   the kernel): amortizes per-step overhead 8x and reuses the bias tile.
 * softmax is exact per q-tile (keys for one row fit VMEM whole at CVD
@@ -22,9 +31,12 @@ These kernels keep everything in VMEM:
 
 Differentiable: custom_vjp pairs the forward (which also emits the row
 log-sum-exp) with a backward kernel that recomputes bias+probabilities per
-q-tile and accumulates dk/dv across the sequential q-tile grid axis. The
-bias is geometry — stop-gradient by construction (epi_module.py:327
-``.detach()``), so geometry inputs get zero cotangents.
+q-tile and accumulates dk/dv across the sequential q-tile grid axis. With
+routing, dk/dv come out aligned to the QUERY row (the gathered layout) and
+are scattered back to source rows with one XLA scatter-add (exact inverse
+permutation for the 2-view swap). The bias is geometry — stop-gradient by
+construction (epi_module.py:327 ``.detach()``), so geometry inputs get
+zero cotangents.
 
 `flash_attention` is the bias-free variant used for the UNet's big spatial
 self-attentions (incl. the cross-video extended-attention kv layout).
@@ -42,33 +54,40 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _bias_tile(lines_ref, coords_ref, band, alpha):
-    """[Tq, N] epipolar bias evaluated in VMEM from factored geometry."""
-    cfc = jnp.abs(
-        jax.lax.dot_general(
-            lines_ref[0].astype(jnp.float32), coords_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-    )
+    """[Tq, N] epipolar bias from per-query lines and per-key pixel coords.
+
+    Pure VPU broadcast math: lines_ref block is [1, Tq, 3] (a,b,c per
+    query, ab-normalized), coords_ref is [2, N] (x row, y row).
+    """
+    a = lines_ref[0, :, 0:1].astype(jnp.float32)   # [Tq, 1]
+    b = lines_ref[0, :, 1:2].astype(jnp.float32)   # [Tq, 1]
+    c = lines_ref[0, :, 2:3].astype(jnp.float32)   # [Tq, 1]
+    xk = coords_ref[0:1, :]                        # [1, N]
+    yk = coords_ref[1:2, :]                        # [1, N]
+    cfc = jnp.abs(a * xk + b * yk + c)             # [Tq, N]
     return -jnp.maximum(cfc - band, 0.0) * alpha
+
+
+def _heads(q_ref, h, D):
+    return q_ref[0, :, h * D:(h + 1) * D]
 
 
 def _fwd_kernel(*refs, scale, heads, has_bias, precision):
     if has_bias:
-        (q_ref, k_ref, v_ref, lines_ref, coords_ref, band_ref, alpha_ref,
-         out_ref, lse_ref) = refs
+        (idx_ref, q_ref, k_ref, v_ref, lines_ref, coords_ref, band_ref,
+         alpha_ref, out_ref, lse_ref) = refs
         b_idx = pl.program_id(0)
         bias = _bias_tile(lines_ref, coords_ref, band_ref[b_idx],
                           alpha_ref[b_idx])
     else:
-        q_ref, k_ref, v_ref, out_ref, lse_ref = refs
+        idx_ref, q_ref, k_ref, v_ref, out_ref, lse_ref = refs
         bias = None
 
+    D = q_ref.shape[-1] // heads
     for h in range(heads):
-        q = q_ref[0, h]               # [Tq, D]
-        k = k_ref[0, h]               # [Lk, D]
-        v = v_ref[0, h]               # [Lk, D]
+        q = _heads(q_ref, h, D)       # [Tq, D]
+        k = _heads(k_ref, h, D)       # [Lk, D]
+        v = _heads(v_ref, h, D)       # [Lk, D]
         logits = jax.lax.dot_general(
             q, k,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -80,7 +99,7 @@ def _fwd_kernel(*refs, scale, heads, has_bias, precision):
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
         denom = jnp.sum(p, axis=-1, keepdims=True)
-        lse_ref[0, h, 0] = (m + jnp.log(denom))[:, 0]
+        lse_ref[0, h] = (m + jnp.log(denom))[:, 0]
         # normalize the [Tq, D] accumulator, not the [Tq, Lk] probabilities
         acc = jax.lax.dot_general(
             p.astype(v.dtype), v,
@@ -88,29 +107,30 @@ def _fwd_kernel(*refs, scale, heads, has_bias, precision):
             preferred_element_type=jnp.float32,
             precision=precision,
         )
-        out_ref[0, h] = (acc / denom).astype(out_ref.dtype)
+        out_ref[0, :, h * D:(h + 1) * D] = (acc / denom).astype(out_ref.dtype)
 
 
 def _bwd_kernel(*refs, scale, heads, has_bias, precision):
     if has_bias:
-        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, lines_ref,
+        (idx_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, lines_ref,
          coords_ref, band_ref, alpha_ref, dq_ref, dk_ref, dv_ref) = refs
         b_idx = pl.program_id(0)
         bias = _bias_tile(lines_ref, coords_ref, band_ref[b_idx],
                           alpha_ref[b_idx])
     else:
-        (q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+        (idx_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
          dq_ref, dk_ref, dv_ref) = refs
         bias = None
 
     first_tile = pl.program_id(1) == 0
+    D = q_ref.shape[-1] // heads
     for h in range(heads):
-        q = q_ref[0, h]
-        k = k_ref[0, h]
-        v = v_ref[0, h]
-        do = do_ref[0, h]
-        lse = lse_ref[0, h, 0]
-        delta = delta_ref[0, h, 0]    # rowsum(do * out)
+        q = _heads(q_ref, h, D)
+        k = _heads(k_ref, h, D)
+        v = _heads(v_ref, h, D)
+        do = _heads(do_ref, h, D)
+        lse = lse_ref[0, h]
+        delta = delta_ref[0, h]       # rowsum(do * out)
 
         logits = jax.lax.dot_general(
             q, k,
@@ -131,7 +151,7 @@ def _bwd_kernel(*refs, scale, heads, has_bias, precision):
         )
         ds = p * (dp - delta[:, None])
 
-        dq_ref[0, h] = (jax.lax.dot_general(
+        dq_ref[0, :, h * D:(h + 1) * D] = (jax.lax.dot_general(
             ds, k.astype(jnp.float32),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -155,13 +175,13 @@ def _bwd_kernel(*refs, scale, heads, has_bias, precision):
         # q-tile grid axis: init at the first tile, accumulate after.
         @pl.when(first_tile)
         def _init(h=h, dk_tile=dk_tile, dv_tile=dv_tile):
-            dk_ref[0, h] = dk_tile
-            dv_ref[0, h] = dv_tile
+            dk_ref[0, :, h * D:(h + 1) * D] = dk_tile
+            dv_ref[0, :, h * D:(h + 1) * D] = dv_tile
 
         @pl.when(jnp.logical_not(first_tile))
         def _acc(h=h, dk_tile=dk_tile, dv_tile=dv_tile):
-            dk_ref[0, h] += dk_tile
-            dv_ref[0, h] += dv_tile
+            dk_ref[0, :, h * D:(h + 1) * D] += dk_tile
+            dv_ref[0, :, h * D:(h + 1) * D] += dv_tile
 
 
 def _precision_for(dtype):
@@ -187,38 +207,46 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
-def _geom_specs(B, H, Tq, Lk):
-    return [
-        pl.BlockSpec((1, Tq, 3), lambda b, i: (b, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((Lk, 3), lambda b, i: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # band [B]
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # alpha [B]
-    ]
+def _identity_index(B: int):
+    return jnp.arange(B, dtype=jnp.int32)
 
 
-def _fwd_call(q, k, v, geom, q_tile):
-    B, H, Lq, D = q.shape
-    Lk = k.shape[2]
+def _grid_spec(B, Lq, Lk, C, Tq, has_bias, n_out_lse_heads):
+    """PrefetchScalarGridSpec: arg0 is the kv routing index [B] int32."""
+    q_spec = pl.BlockSpec((1, Tq, C), lambda b, i, idx: (b, i, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, Lk, C), lambda b, i, idx: (idx[b], 0, 0),
+                           memory_space=pltpu.VMEM)
+    in_specs = [q_spec, kv_spec, kv_spec]
+    if has_bias:
+        in_specs += [
+            pl.BlockSpec((1, Tq, 3), lambda b, i, idx: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, Lk), lambda b, i, idx: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # band [B]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # alpha [B]
+        ]
+    return in_specs
+
+
+def _fwd_call(q, k, v, geom, kv_index, q_tile, H):
+    B, Lq, C = q.shape
+    Lk = k.shape[1]
+    D = C // H
     Tq = _pick_tile(q_tile, Lq, Lk)
     scale = 1.0 / math.sqrt(D)
     has_bias = geom is not None
+    if kv_index is None:
+        kv_index = _identity_index(B)
 
-    in_specs = [
-        pl.BlockSpec((1, H, Tq, D), lambda b, i: (b, 0, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, H, Lk, D), lambda b, i: (b, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, H, Lk, D), lambda b, i: (b, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
+    in_specs = _grid_spec(B, Lq, Lk, C, Tq, has_bias, H)
     args = [q, k, v]
     if has_bias:
         norm_lines, coords, band, alpha = geom
-        in_specs += _geom_specs(B, H, Tq, coords.shape[0])
         args += [
-            jax.lax.stop_gradient(norm_lines), coords.astype(jnp.float32),
+            jax.lax.stop_gradient(norm_lines),
+            coords.astype(jnp.float32),
             band.reshape(B).astype(jnp.float32),
             alpha.reshape(B).astype(jnp.float32),
         ]
@@ -227,128 +255,151 @@ def _fwd_call(q, k, v, geom, q_tile):
         functools.partial(_fwd_kernel, scale=scale, heads=H,
                           has_bias=has_bias, precision=_precision_for(q.dtype)),
         out_shape=(
-            jax.ShapeDtypeStruct((B, H, Lq, D), q.dtype),
-            # [B, H, 1, Lq]: trailing block dims must be (8k, 128k)-divisible
-            # or whole-array — a [B*H, Lq] row layout can't tile the q axis
-            jax.ShapeDtypeStruct((B, H, 1, Lq), jnp.float32),
+            jax.ShapeDtypeStruct((B, Lq, C), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Lq), jnp.float32),
         ),
-        grid_spec=pl.GridSpec(
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
             grid=(B, Lq // Tq),
             in_specs=in_specs,
             out_specs=(
-                pl.BlockSpec((1, H, Tq, D), lambda b, i: (b, 0, i, 0),
+                pl.BlockSpec((1, Tq, C), lambda b, i, idx: (b, i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, H, 1, Tq), lambda b, i: (b, 0, 0, i),
+                pl.BlockSpec((1, H, Tq), lambda b, i, idx: (b, 0, i),
                              memory_space=pltpu.VMEM),
             ),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * H * Lq * Lk * (2 * D + (3 if has_bias else 0)),
-            bytes_accessed=B * H * (2 * Lq + 2 * Lk) * D * 2,
+            flops=2 * B * H * Lq * Lk * 2 * D,
+            bytes_accessed=B * (2 * Lq + 2 * Lk) * C * 2,
             transcendentals=B * H * Lq * Lk,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_interpret(),
-    )(*args)
+    )(kv_index.astype(jnp.int32), *args)
     return out, lse
 
 
-def _bwd_call(q, k, v, geom, out, lse, g, q_tile):
-    B, H, Lq, D = q.shape
-    Lk = k.shape[2]
+def _bwd_call(q, k, v, geom, kv_index, out, lse, g, q_tile, H):
+    B, Lq, C = q.shape
+    Lk = k.shape[1]
+    D = C // H
     Tq = _pick_tile(q_tile, Lq, Lk)
     scale = 1.0 / math.sqrt(D)
     has_bias = geom is not None
+    routed = kv_index is not None
+    if kv_index is None:
+        kv_index = _identity_index(B)
 
-    delta = jnp.sum(
-        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
-    )[:, :, None, :]                                   # [B, H, 1, Lq]
+    # delta[b,h,n] = rowsum(dout * out) per head
+    delta = jnp.einsum(
+        "bnhd,bnhd->bhn",
+        g.astype(jnp.float32).reshape(B, Lq, H, D),
+        out.astype(jnp.float32).reshape(B, Lq, H, D),
+    )
 
-    in_specs = [
-        pl.BlockSpec((1, H, Tq, D), lambda b, i: (b, 0, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, H, Lk, D), lambda b, i: (b, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, H, Lk, D), lambda b, i: (b, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, H, Tq, D), lambda b, i: (b, 0, i, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, H, 1, Tq), lambda b, i: (b, 0, 0, i),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, H, 1, Tq), lambda b, i: (b, 0, 0, i),
-                     memory_space=pltpu.VMEM),
-    ]
+    q_spec = pl.BlockSpec((1, Tq, C), lambda b, i, idx: (b, i, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, Lk, C), lambda b, i, idx: (idx[b], 0, 0),
+                           memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, H, Tq), lambda b, i, idx: (b, 0, i),
+                            memory_space=pltpu.VMEM)
+    in_specs = [q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec]
     args = [q, k, v, g, lse, delta]
     if has_bias:
         norm_lines, coords, band, alpha = geom
-        in_specs += _geom_specs(B, H, Tq, coords.shape[0])
+        in_specs += [
+            pl.BlockSpec((1, Tq, 3), lambda b, i, idx: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, Lk), lambda b, i, idx: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
         args += [
-            jax.lax.stop_gradient(norm_lines), coords.astype(jnp.float32),
+            jax.lax.stop_gradient(norm_lines),
+            coords.astype(jnp.float32),
             band.reshape(B).astype(jnp.float32),
             alpha.reshape(B).astype(jnp.float32),
         ]
 
-    dq, dk, dv = pl.pallas_call(
+    # dk/dv emerge aligned to the QUERY row (gathered layout)
+    gathered_spec = pl.BlockSpec((1, Lk, C), lambda b, i, idx: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    dq, dk_g, dv_g = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, heads=H,
                           has_bias=has_bias, precision=_precision_for(q.dtype)),
         out_shape=(
-            jax.ShapeDtypeStruct((B, H, Lq, D), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, Lk, D), jnp.float32),
-            jax.ShapeDtypeStruct((B, H, Lk, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Lq, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, Lk, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, Lk, C), jnp.float32),
         ),
-        grid_spec=pl.GridSpec(
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
             grid=(B, Lq // Tq),
             in_specs=in_specs,
-            out_specs=(
-                pl.BlockSpec((1, H, Tq, D), lambda b, i: (b, 0, i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, H, Lk, D), lambda b, i: (b, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, H, Lk, D), lambda b, i: (b, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ),
+            out_specs=(q_spec, gathered_spec, gathered_spec),
         ),
         cost_estimate=pl.CostEstimate(
             flops=10 * B * H * Lq * Lk * D,
-            bytes_accessed=B * H * (4 * Lq + 4 * Lk) * D * 4,
+            bytes_accessed=B * (4 * Lq + 4 * Lk) * C * 4,
             transcendentals=B * H * Lq * Lk,
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_interpret(),
-    )(*args)
-    return (
-        dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
-    )
+    )(kv_index.astype(jnp.int32), *args)
+
+    if routed:
+        # scatter-add back to source rows (inverse permutation for the
+        # 2-view swap; general kv routing may hit a row multiple times)
+        dk = jnp.zeros_like(dk_g).at[kv_index].add(dk_g)
+        dv = jnp.zeros_like(dv_g).at[kv_index].add(dv_g)
+    else:
+        dk, dv = dk_g, dv_g
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def _int_zero_cotangent(x):
+    """Cotangent for integer inputs must be float0."""
+    import numpy as np
+
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
 
 # --------------------------------------------------------------------- #
 # epipolar-bias entry point
 # --------------------------------------------------------------------- #
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def _epi_flash(q, k, v, norm_lines, coords, band, alpha, q_tile):
-    out, _ = _fwd_call(q, k, v, (norm_lines, coords, band, alpha), q_tile)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _epi_flash(q, k, v, norm_lines, coords, band, alpha, kv_index,
+               q_tile, heads):
+    out, _ = _fwd_call(q, k, v, (norm_lines, coords, band, alpha),
+                       kv_index, q_tile, heads)
     return out
 
 
-def _epi_flash_fwd(q, k, v, norm_lines, coords, band, alpha, q_tile):
-    out, lse = _fwd_call(q, k, v, (norm_lines, coords, band, alpha), q_tile)
-    return out, (q, k, v, norm_lines, coords, band, alpha, out, lse)
+def _epi_flash_fwd(q, k, v, norm_lines, coords, band, alpha, kv_index,
+                   q_tile, heads):
+    out, lse = _fwd_call(q, k, v, (norm_lines, coords, band, alpha),
+                         kv_index, q_tile, heads)
+    return out, (q, k, v, norm_lines, coords, band, alpha, kv_index, out, lse)
 
 
-def _epi_flash_bwd(q_tile, res, g):
-    q, k, v, norm_lines, coords, band, alpha, out, lse = res
+def _epi_flash_bwd(q_tile, heads, res, g):
+    q, k, v, norm_lines, coords, band, alpha, kv_index, out, lse = res
     dq, dk, dv = _bwd_call(
-        q, k, v, (norm_lines, coords, band, alpha), out, lse, g, q_tile
+        q, k, v, (norm_lines, coords, band, alpha), kv_index, out, lse, g,
+        q_tile, heads,
     )
     return (
         dq, dk, dv,
         jnp.zeros_like(norm_lines), jnp.zeros_like(coords),
         jnp.zeros_like(band), jnp.zeros_like(alpha),
+        None if kv_index is None else _int_zero_cotangent(kv_index),
     )
 
 
@@ -356,51 +407,64 @@ _epi_flash.defvjp(_epi_flash_fwd, _epi_flash_bwd)
 
 
 def epi_flash_attention(
-    q: jnp.ndarray,       # [B, H, N, D]
-    k: jnp.ndarray,       # [B, H, Lk, D]
-    v: jnp.ndarray,       # [B, H, Lk, D]
+    q: jnp.ndarray,           # [B, N, C]  (C = heads * head_dim)
+    k: jnp.ndarray,           # [B, Lk, C] SOURCE rows (pre-routing)
+    v: jnp.ndarray,           # [B, Lk, C]
     norm_lines: jnp.ndarray,  # [B, N, 3] (ab-normalized epipolar lines)
-    coords: jnp.ndarray,      # [Lk, 3]
+    coords: jnp.ndarray,      # [2, Lk] key pixel coords (x row, y row)
     band: jnp.ndarray,        # [B]
     alpha: jnp.ndarray,       # [B]
+    heads: int = 8,
+    kv_index: Optional[jnp.ndarray] = None,  # [B] partner row per query row
     q_tile: int = 512,
 ) -> jnp.ndarray:
-    """Fused epipolar attention; differentiable in q/k/v (geometry inputs
-    get zero cotangents — the reference detaches the mask too)."""
-    return _epi_flash(q, k, v, norm_lines, coords, band, alpha, q_tile)
+    """Fused epipolar attention in the projections' native [B, N, C] layout.
+
+    kv_index routes keys/values: query row b attends to k[kv_index[b]]
+    (the reference's cross-video chunk(2) swap / gather,
+    attention_processor.py:575-583) — no materialized gather.
+    Differentiable in q/k/v; geometry inputs get zero cotangents (the
+    reference detaches the mask too).
+    """
+    return _epi_flash(q, k, v, norm_lines, coords, band, alpha, kv_index,
+                      q_tile, heads)
 
 
 # --------------------------------------------------------------------- #
 # bias-free entry point (big spatial self-attentions)
 # --------------------------------------------------------------------- #
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _flash(q, k, v, q_tile):
-    out, _ = _fwd_call(q, k, v, None, q_tile)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash(q, k, v, q_tile, heads):
+    out, _ = _fwd_call(q, k, v, None, None, q_tile, heads)
     return out
 
 
-def _flash_fwd(q, k, v, q_tile):
-    out, lse = _fwd_call(q, k, v, None, q_tile)
+def _flash_fwd(q, k, v, q_tile, heads):
+    out, lse = _fwd_call(q, k, v, None, None, q_tile, heads)
     return out, (q, k, v, out, lse)
 
 
-def _flash_bwd(q_tile, res, g):
+def _flash_bwd(q_tile, heads, res, g):
     q, k, v, out, lse = res
-    return _bwd_call(q, k, v, None, out, lse, g, q_tile)
+    return _bwd_call(q, k, v, None, None, out, lse, g, q_tile, heads)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
-def flash_attention(q, k, v, q_tile: int = 512) -> jnp.ndarray:
-    """Plain fused attention, q/k/v [B, H, L, D]; no [L, L] HBM tensors."""
-    return _flash(q, k, v, q_tile)
+def flash_attention(q, k, v, heads: int = 8, q_tile: int = 512) -> jnp.ndarray:
+    """Plain fused attention, q/k/v [B, L, C]; no [L, L] HBM tensors and no
+    head-split transposes."""
+    return _flash(q, k, v, q_tile, heads)
 
 
-def flash_supported(Lq: int, Lk: int, D: int) -> bool:
-    """Shapes the TPU kernel tiles profitably: big rows, 8/128-aligned."""
-    return Lq >= 256 and Lq % 128 == 0 and Lk % 128 == 0 and D % 8 == 0
+def flash_supported(Lq: int, Lk: int, C: int, heads: int) -> bool:
+    """Shapes the TPU kernel tiles profitably: big rows, aligned lanes."""
+    return (
+        Lq >= 256 and Lq % 128 == 0 and Lk % 128 == 0
+        and C % heads == 0 and (C // heads) % 8 == 0
+    )
 
 
 def flash_attention_with_bias(q, k, v, bias):
