@@ -110,6 +110,11 @@ def train_step(
 
 def make_jitted_train_step(modules: PipelineModules, mesh=None, **kwargs):
     """jit the step; with a mesh, donate state and shard the batch axis."""
+    if mesh is not None:
+        # a pallas_call under GSPMD would force its operands to
+        # gather/replicate (and the 2-view kv swap crosses the data-sharded
+        # batch axis); the XLA path lets GSPMD insert proper collectives
+        kwargs.setdefault("use_flash_kernel", False)
     frozen = {
         "vae": modules.vae_params,
         "clip": modules.clip_params,
@@ -119,9 +124,16 @@ def make_jitted_train_step(modules: PipelineModules, mesh=None, **kwargs):
     def step(state, batch, rng, frozen_params):
         return train_step(state, batch, modules, rng, frozen_params, **kwargs)
 
+    from cvd_tpu.models import layers as _layers
+
     if mesh is None:
         jitted = jax.jit(step, donate_argnums=(0,))
-        return lambda state, batch, rng: jitted(state, batch, rng, frozen)
+
+        def run_single(state, batch, rng):
+            _layers.FLASH_SPATIAL = True  # trace-time switch
+            return jitted(state, batch, rng, frozen)
+
+        return run_single
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -134,4 +146,9 @@ def make_jitted_train_step(modules: PipelineModules, mesh=None, **kwargs):
         in_shardings=(replicated, batched, replicated, replicated),
         out_shardings=(replicated, replicated),
     )
-    return lambda state, batch, rng: jitted(state, batch, rng, frozen)
+
+    def run_sharded(state, batch, rng):
+        _layers.FLASH_SPATIAL = False  # trace-time switch (see above)
+        return jitted(state, batch, rng, frozen)
+
+    return run_sharded
