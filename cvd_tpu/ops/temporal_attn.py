@@ -236,7 +236,7 @@ def temporal_flash_attention(
     v: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,  # additive [F, F]
     heads: int = 8,
-    n_tile: int = 128,
+    n_tile: int = 256,
 ) -> jnp.ndarray:
     """Per-pixel attention over the frame axis, fused, in pixel-major
     layout (per-head tiles need no relayout)."""

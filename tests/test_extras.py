@@ -93,3 +93,26 @@ def test_visualize_correspondence_overlay():
     F_mats = rng.standard_normal((F_len, 3, 3)).astype(np.float32) * 1e-3
     img = visualize_correspondence(videos, aux, F_mats)
     assert img.shape == (H, 2 * H, 3) and img.dtype == np.uint8
+
+
+def test_eval_parity_cli(tmp_path):
+    """PSNR/SSIM parity tool: identical dirs pass, noisy copies fail."""
+    import imageio.v2 as imageio
+    import numpy as np
+    from cvd_tpu.cli.eval_parity import main as eval_main
+
+    rng = np.random.default_rng(0)
+    a = (rng.random((3, 16, 16, 3)) * 255).astype(np.uint8)
+    noisy = np.clip(
+        a.astype(np.int16) + rng.integers(-40, 40, a.shape), 0, 255
+    ).astype(np.uint8)
+    for name, vid in [("ref", a), ("same", a), ("noisy", noisy)]:
+        d = tmp_path / name
+        d.mkdir()
+        for i, fr in enumerate(vid):
+            imageio.imwrite(d / f"{i:04d}.png", fr)
+
+    assert eval_main(["--ref", str(tmp_path / "ref"),
+                      "--test", str(tmp_path / "same"), "--json"]) == 0
+    assert eval_main(["--ref", str(tmp_path / "ref"),
+                      "--test", str(tmp_path / "noisy"), "--json"]) == 1
