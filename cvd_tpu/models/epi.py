@@ -173,12 +173,25 @@ class EpiSelfAttention(nn.Module):
             and cond.kv_index is not None
             and cond.kv_index.shape[0] != B
         )
-        use_kernel = (
+        from cvd_tpu.models import layers as _layers
+
+        mesh = _layers.SHARD_MESH
+        kernel_eligible = (
             cond is not None
             and cond.use_flash_kernel
             and not multi_group
             and feat_size >= 16  # tiny grids: XLA wins, skip kernel launch
         )
+        use_sharded = False
+        if kernel_eligible and mesh is not None:
+            from cvd_tpu.parallel.shard_ops import mesh_ok_for_kernels
+
+            Fw = cond.video_length
+            use_sharded = (
+                B % Fw == 0 and mesh_ok_for_kernels(mesh, B // Fw, Fw)
+            )
+            kernel_eligible = use_sharded  # mesh present: sharded or XLA
+        use_kernel = kernel_eligible
         if use_kernel:
             # fused Pallas path: project SOURCE rows, route the partner's
             # k/v inside the kernel (BlockSpec index over kv_index — no
@@ -199,10 +212,18 @@ class EpiSelfAttention(nn.Module):
             norm_lines, band, alpha = lines_and_band(
                 jax.lax.stop_gradient(lines), feat_size, cond.F_mat_size
             )
-            out = epi_flash_attention(
-                q_tok, k_tok, v_tok, norm_lines, coords_xy, band, alpha,
-                heads=self.heads, kv_index=route,
-            )
+            if use_sharded:
+                from cvd_tpu.parallel.shard_ops import sharded_epi_flash
+
+                out = sharded_epi_flash(
+                    q_tok, k_tok, v_tok, norm_lines, coords_xy, band, alpha,
+                    self.heads, route, cond.video_length, mesh,
+                )
+            else:
+                out = epi_flash_attention(
+                    q_tok, k_tok, v_tok, norm_lines, coords_xy, band, alpha,
+                    heads=self.heads, kv_index=route,
+                )
             # aux key map = gathered rows (dead code unless consumed, so
             # inference pays nothing; training uses the last epi layer only)
             k_tok = k_tok[route]

@@ -138,9 +138,14 @@ class FeedForward(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="net_2")(h)
 
 
-# trace-time switch: mesh-sharded pipelines set this False while tracing —
-# a pallas_call under GSPMD would force its operands to gather/replicate
+# trace-time switches set by the pipelines before tracing:
+# FLASH_SPATIAL — master enable for the fused attention kernels.
+# SHARD_MESH — a ("rows","frames") mesh: attention ops drop to shard_map
+#   wrappers (parallel/shard_ops.py) so the Pallas kernels run per-shard
+#   with explicit collectives. A bare pallas_call under GSPMD would force
+#   its operands to gather/replicate, hence the wrapper indirection.
 FLASH_SPATIAL = True
+SHARD_MESH = None
 
 
 def scaled_dot_product_attention(
@@ -227,13 +232,23 @@ class Attention(nn.Module):
 
         B, Lq = q.shape[:2]
         Lk = k.shape[1]
-        use_kernel = False
-        if (FLASH_SPATIAL and bias is None
-                and jax.default_backend() == "tpu"):
+        use_kernel = use_sharded = False
+        if FLASH_SPATIAL and bias is None:
             from cvd_tpu.ops.epi_flash import flash_attention, flash_supported
 
-            use_kernel = flash_supported(Lq, Lk, inner, self.heads)
-        if use_kernel:
+            ok = flash_supported(Lq, Lk, inner, self.heads)
+            if SHARD_MESH is not None:
+                use_sharded = (
+                    ok and encoder_hidden_states is None
+                    and B % SHARD_MESH.size == 0
+                )
+            else:
+                use_kernel = ok and jax.default_backend() == "tpu"
+        if use_sharded:
+            from cvd_tpu.parallel.shard_ops import sharded_spatial_flash
+
+            out = sharded_spatial_flash(q, k, v, self.heads, SHARD_MESH)
+        elif use_kernel:
             # fused kernel in the projections' native [B, L, C] layout —
             # no [B,L,H,D]->[B,H,L,D] transpose copies in HBM
             out = flash_attention(q, k, v, heads=self.heads)

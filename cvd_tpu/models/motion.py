@@ -115,15 +115,32 @@ class TemporalSelfAttention(nn.Module):
             temporal_flash_attention, temporal_flash_supported,
         )
 
-        if (_layers.FLASH_SPATIAL and jax.default_backend() == "tpu"
-                and temporal_flash_supported(F, N, C, self.heads)):
+        mesh = _layers.SHARD_MESH
+        supported = (
+            _layers.FLASH_SPATIAL
+            and temporal_flash_supported(F, N, C, self.heads)
+        )
+        use_sharded = (
+            supported and mesh is not None
+            and B % mesh.shape["rows"] == 0
+            and F % mesh.shape["frames"] == 0
+        )
+        use_kernel = (
+            supported and mesh is None and jax.default_backend() == "tpu"
+        )
+        if use_sharded or use_kernel:
             # fused kernel: per-head [pixel-tile, F, D] blocks sliced
             # straight out of the pixel-major tensor — zero relayouts
             mask = (
                 causal_temporal_mask(self.causal_mask_type, F)
                 if self.causal_mask_type else None
             )
-            out = temporal_flash_attention(q, k, v, mask, heads=self.heads)
+            if use_sharded:
+                from cvd_tpu.parallel.shard_ops import sharded_temporal_flash
+
+                out = sharded_temporal_flash(q, k, v, mask, self.heads, mesh)
+            else:
+                out = temporal_flash_attention(q, k, v, mask, heads=self.heads)
         else:
             q = q.reshape(B, N, F, self.heads, head_dim)
             k = k.reshape(B, N, F, self.heads, head_dim)

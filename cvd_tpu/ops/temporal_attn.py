@@ -134,29 +134,41 @@ def _precision_for(dtype):
     )
 
 
-def _pick_tile(N: int, n_tile: int) -> int:
-    Tn = min(n_tile, N)
+def _pick_tile(N: int, n_tile: int, F: int, C: int, itemsize: int) -> int:
+    """Pixel-tile size, capped so one [Tn, F, C] ref block stays ~<=2 MB —
+    larger f32/wide-channel blocks (e.g. the pose encoder's [*,16,640] f32
+    attention) make Mosaic's unrolled head loop spill tens of MB of
+    registers and blow the 128 MB VMEM budget."""
+    budget = 2 * 1024 * 1024
+    cap = max(budget // max(F * C * itemsize, 1), 8)
+    cap = 1 << (cap.bit_length() - 1)  # round down to a power of two
+    Tn = min(n_tile, N, cap)
     while N % Tn:
         Tn //= 2
     return max(Tn, 8)
 
 
-def _specs(B, N, F, C, Tn, has_mask):
+def _specs(B, N, F, G, C, Tn, has_mask):
+    """q blocks carry F (local) frames, k/v blocks G (possibly all-gathered)
+    frames; mask is [F, G]."""
     blk = pl.BlockSpec((1, Tn, F, C), lambda b, i: (b, i, 0, 0),
                        memory_space=pltpu.VMEM)
-    in_specs = [blk, blk, blk]
+    kv_blk = pl.BlockSpec((1, Tn, G, C), lambda b, i: (b, i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    in_specs = [blk, kv_blk, kv_blk]
     if has_mask:
-        in_specs.append(pl.BlockSpec((F, F), lambda b, i: (0, 0),
+        in_specs.append(pl.BlockSpec((F, G), lambda b, i: (0, 0),
                                      memory_space=pltpu.VMEM))
-    return blk, in_specs
+    return blk, kv_blk, in_specs
 
 
 def _fwd_call(q, k, v, mask, heads, n_tile):
     B, N, F, C = q.shape
-    Tn = _pick_tile(N, n_tile)
+    G = k.shape[2]
+    Tn = _pick_tile(N, n_tile, max(F, G), C, q.dtype.itemsize)
     scale = 1.0 / math.sqrt(C // heads)
     has_mask = mask is not None
-    blk, in_specs = _specs(B, N, F, C, Tn, has_mask)
+    blk, _, in_specs = _specs(B, N, F, G, C, Tn, has_mask)
     args = [q, k, v] + ([mask.astype(jnp.float32)] if has_mask else [])
     return pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, heads=heads,
@@ -180,10 +192,11 @@ def _fwd_call(q, k, v, mask, heads, n_tile):
 
 def _bwd_call(q, k, v, mask, heads, n_tile, g):
     B, N, F, C = q.shape
-    Tn = _pick_tile(N, n_tile)
+    G = k.shape[2]
+    Tn = _pick_tile(N, n_tile, max(F, G), C, 4)
     scale = 1.0 / math.sqrt(C // heads)
     has_mask = mask is not None
-    blk, in_specs = _specs(B, N, F, C, Tn, has_mask)
+    blk, kv_blk, in_specs = _specs(B, N, F, G, C, Tn, has_mask)
     in_specs.insert(3, blk)  # do
     args = [q, k, v, g] + ([mask.astype(jnp.float32)] if has_mask else [])
     dq, dk, dv = pl.pallas_call(
@@ -192,11 +205,12 @@ def _bwd_call(q, k, v, mask, heads, n_tile, g):
                           precision=_precision_for(q.dtype)),
         out_shape=(
             jax.ShapeDtypeStruct((B, N, F, C), jnp.float32),
-            jax.ShapeDtypeStruct((B, N, F, C), jnp.float32),
-            jax.ShapeDtypeStruct((B, N, F, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, G, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, G, C), jnp.float32),
         ),
         grid_spec=pl.GridSpec(
-            grid=(B, N // Tn), in_specs=in_specs, out_specs=(blk, blk, blk),
+            grid=(B, N // Tn), in_specs=in_specs,
+            out_specs=(blk, kv_blk, kv_blk),
         ),
         cost_estimate=pl.CostEstimate(
             flops=11 * B * N * heads * F * F * (C // heads),

@@ -1,0 +1,135 @@
+"""Sharded wrappers that keep the Pallas kernels on multi-chip meshes.
+
+A ``pallas_call`` traced under GSPMD forces its operands to
+gather/replicate, so the mesh pipelines historically fell back to the XLA
+attention paths. These wrappers instead drop to ``jax.shard_map`` around
+each attention op: every chip runs the SAME fused kernel on its local
+shard, and the only cross-chip traffic is the op's minimal collective —
+
+* spatial attention: none (batch rows are independent);
+* temporal attention: all-gather of k/v over the ``frames`` axis (classic
+  sequence parallelism — queries stay frame-sharded, keys/values are
+  gathered so every pixel sees all frames);
+* epipolar cross-video attention: all-gather of k/v over the ``rows``
+  axis, then the kernel's kv_index routing picks each query row's partner
+  video out of the gathered block (reference semantics:
+  attention_processor.py:575-583). The routing index may be traced (the
+  advanced pipeline's random pairing), which a static ppermute could not
+  express.
+
+Token layouts and mesh conventions match cvd_tpu.parallel.inference_mesh:
+the UNet batch (views x CFG) rows shard over ``rows``, the frame axis over
+``frames``. Flattened ``(b f)`` batch-major token dims shard over
+``("rows", "frames")`` jointly, which matches b-major flattening exactly
+because both factorizations are row-major.
+
+All wrappers are inference-only (the mesh train step keeps the XLA path,
+see train/train_step.py).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def mesh_ok_for_kernels(mesh: Optional[Mesh], B: int, F: int) -> bool:
+    """The sharded kernel path needs the ("rows","frames") inference mesh
+    with evenly divisible batch rows and frames."""
+    if mesh is None:
+        return False
+    names = tuple(mesh.axis_names)
+    if names != ("rows", "frames"):
+        return False
+    R = mesh.shape["rows"]
+    C = mesh.shape["frames"]
+    return B % R == 0 and F % C == 0
+
+
+def sharded_spatial_flash(q, k, v, heads: int, mesh: Mesh):
+    """Self-attention on [(b f), N, C] tokens: rows independent, zero
+    collectives — shard_map just makes the kernel run on local rows."""
+    from cvd_tpu.ops.epi_flash import flash_attention
+
+    spec = P(("rows", "frames"), None, None)
+
+    def local(ql, kl, vl):
+        return flash_attention(ql, kl, vl, heads=heads)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )(q, k, v)
+
+
+def sharded_temporal_flash(q, k, v, mask, heads: int, mesh: Mesh):
+    """Per-pixel temporal attention on [B, N, F, C]: q stays frame-sharded,
+    k/v all-gather over 'frames' so local frames attend over all frames."""
+    from cvd_tpu.ops.temporal_attn import temporal_flash_attention
+
+    spec = P("rows", None, "frames", None)
+    F_total = q.shape[2]
+    Cf = mesh.shape["frames"]
+    F_loc = F_total // Cf
+
+    def local(ql, kl, vl):
+        kg = jax.lax.all_gather(kl, "frames", axis=2, tiled=True)
+        vg = jax.lax.all_gather(vl, "frames", axis=2, tiled=True)
+        mask_l = None
+        if mask is not None:
+            off = jax.lax.axis_index("frames") * F_loc
+            mask_l = jax.lax.dynamic_slice(
+                mask, (off, 0), (F_loc, F_total)
+            )
+        return temporal_flash_attention(ql, kg, vg, mask_l, heads=heads)
+
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )(q, k, v)
+
+
+def sharded_epi_flash(
+    q, k, v, norm_lines, coords, band, alpha, heads: int,
+    kv_index, video_length: int, mesh: Mesh,
+):
+    """Cross-video epipolar attention on [(b f), N, C] tokens.
+
+    kv_index: [B_glob] int32 GLOBAL row routing (query row g reads k/v of
+    row kv_index[g]); partners always share the frame index, so after the
+    'rows' all-gather the partner row is guaranteed locally present.
+    """
+    from cvd_tpu.ops.epi_flash import epi_flash_attention
+
+    spec = P(("rows", "frames"), None, None)
+    vec = P(("rows", "frames"))
+    B_glob = q.shape[0]
+    R = mesh.shape["rows"]
+    Cf = mesh.shape["frames"]
+    B_videos = B_glob // video_length          # b dim of the (b f) layout
+    Fw = video_length
+    F_loc = Fw // Cf
+    B_loc = (B_videos // R) * F_loc            # rows per device
+
+    def local(ql, kl, vl, linesl, bandl, alphal, idxl):
+        kg = jax.lax.all_gather(kl, "rows", axis=0, tiled=True)
+        vg = jax.lax.all_gather(vl, "rows", axis=0, tiled=True)
+        # gathered rows hold ALL videos b but only MY frame block:
+        # gathered position of global row (b', f') = b' * F_loc + (f' - off)
+        c = jax.lax.axis_index("frames")
+        off = c * F_loc
+        b_p = idxl // Fw
+        f_p = idxl % Fw
+        local_idx = (b_p * F_loc + (f_p - off)).astype(jnp.int32)
+        return epi_flash_attention(
+            ql, kg, vg, linesl, coords, bandl, alphal,
+            heads=heads, kv_index=local_idx,
+        )
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(spec, spec, spec, spec, vec, vec, vec),
+        out_specs=spec, check_vma=False,
+    )(q, k, v, norm_lines, band, alpha, kv_index.astype(jnp.int32))

@@ -56,8 +56,8 @@ class AdvancedPipeline:
         self.mono_direction = mono_direction
         self.fix_firstframe = fix_firstframe
         if use_flash_kernel is None:
-            use_flash_kernel = jax.default_backend() == "tpu" and mesh is None
-        self.use_flash_kernel = use_flash_kernel and mesh is None
+            use_flash_kernel = jax.default_backend() == "tpu"
+        self.use_flash_kernel = use_flash_kernel
         self.mesh = mesh
         self._jitted = {}
 
@@ -96,10 +96,19 @@ class AdvancedPipeline:
                     decode=decode,
                 )
             )
-        return self._jitted[key](
-            self.m.params_bundle(), prompt_ids, negative_ids, plucker, c2w,
-            K_mats, F_mats, H_mats, rng, latents,
-        )
+        from cvd_tpu.models import layers as _layers
+
+        # trace-time kernel switches (see pipelines/simple.py)
+        prev = (_layers.FLASH_SPATIAL, _layers.SHARD_MESH)
+        _layers.FLASH_SPATIAL = self.use_flash_kernel
+        _layers.SHARD_MESH = self.mesh if self.use_flash_kernel else None
+        try:
+            return self._jitted[key](
+                self.m.params_bundle(), prompt_ids, negative_ids, plucker,
+                c2w, K_mats, F_mats, H_mats, rng, latents,
+            )
+        finally:
+            _layers.FLASH_SPATIAL, _layers.SHARD_MESH = prev
 
     # ------------------------------------------------------------------ #
 
@@ -172,10 +181,7 @@ class AdvancedPipeline:
                 use_flash_kernel=self.use_flash_kernel,
             )
 
-        from cvd_tpu.models import layers as _layers
         from cvd_tpu.parallel import constrain
-
-        _layers.FLASH_SPATIAL = self.mesh is None
 
         def guided_eps(lat, t, key):
             pair_key, slope_key = jax.random.split(key)

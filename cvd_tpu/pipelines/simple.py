@@ -31,15 +31,16 @@ class SimplePipeline:
                  mesh=None):
         """mesh: optional ("rows", "frames") jax.sharding.Mesh
         (cvd_tpu.parallel.inference_mesh) — shards the 4 CFG rows and the
-        frame axis across devices inside the one jitted program. The Pallas
-        epi kernel is single-device; sharded runs use the XLA epi path.
+        frame axis across devices inside the one jitted program. With the
+        kernels enabled, attention ops run as per-shard Pallas kernels
+        under shard_map with explicit collectives (parallel/shard_ops.py).
         """
         self.m = modules
         self.F_mat_size = F_mat_size
         self.rand_slope_ff = rand_slope_ff
         if use_flash_kernel is None:
-            use_flash_kernel = jax.default_backend() == "tpu" and mesh is None
-        self.use_flash_kernel = use_flash_kernel and mesh is None
+            use_flash_kernel = jax.default_backend() == "tpu"
+        self.use_flash_kernel = use_flash_kernel
         self.mesh = mesh
         self._jitted = {}
 
@@ -81,10 +82,21 @@ class SimplePipeline:
                     window_length=window_length,
                 )
             )
-        return self._jitted[key](
-            self.m.params_bundle(), prompt_ids, negative_ids, plucker, F_mats,
-            rng, latents,
-        )
+        from cvd_tpu.models import layers as _layers
+
+        # trace-time switches: with a mesh, attention kernels run through
+        # the shard_map wrappers (never as bare pallas_calls under GSPMD);
+        # restore afterwards so later traces see their own settings
+        prev = (_layers.FLASH_SPATIAL, _layers.SHARD_MESH)
+        _layers.FLASH_SPATIAL = self.use_flash_kernel
+        _layers.SHARD_MESH = self.mesh if self.use_flash_kernel else None
+        try:
+            return self._jitted[key](
+                self.m.params_bundle(), prompt_ids, negative_ids, plucker,
+                F_mats, rng, latents,
+            )
+        finally:
+            _layers.FLASH_SPATIAL, _layers.SHARD_MESH = prev
 
     def _run(
         self, params, prompt_ids, negative_ids, plucker, F_mats, rng,
@@ -147,12 +159,7 @@ class SimplePipeline:
             counts = counts.at[s : s + Fw].add(1.0)
         inv_counts = (1.0 / counts)[None, :, None, None, None]
 
-        from cvd_tpu.models import layers as _layers
         from cvd_tpu.parallel import constrain
-
-        # trace-time: sharded programs keep spatial attention on the XLA
-        # path (pallas_call operands would gather under GSPMD)
-        _layers.FLASH_SPATIAL = self.mesh is None
 
         def eps_window(lat_w, t, sk, pf, cond_w):
             lat_in = jnp.concatenate(

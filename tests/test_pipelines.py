@@ -178,3 +178,42 @@ def test_advanced_pipeline_sharded_runs(modules, camera_inputs, prompts):
     )
     assert out.shape == (2, F_FRAMES, IMG, IMG, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_simple_pipeline_sharded_kernels_match_xla():
+    """Sharded sampling with the Pallas kernels (shard_map wrappers) ==
+    the XLA path, at shapes big enough to engage every kernel
+    (spatial N=256, epi feat 16, temporal N=256)."""
+    from cvd_tpu.parallel import inference_mesh
+    from cvd_tpu.geometry.trajectories import default_intrinsics
+
+
+    F_big, IMG_big = 4, 128
+    mods = tiny_modules(latent_size=IMG_big // 8, video_length=F_big)
+    c2ws = G.circle_trajectory(2, F_big, camera_dist=0.3)
+    K = default_intrinsics(2, F_big, IMG_big, IMG_big)
+    intr = np.stack([K[:, 0, 0], K[:, 1, 1], K[:, 0, 2], K[:, 1, 2]], -1)
+    plucker = G.ray_condition(
+        jnp.asarray(intr, jnp.float32)[None],
+        jnp.asarray(c2ws, jnp.float32)[None], IMG_big, IMG_big,
+    )[0].reshape(2, F_big, IMG_big, IMG_big, 6)
+    Fp = G.fundamental_between_views(
+        jnp.asarray(c2ws[:F_big], jnp.float32),
+        jnp.asarray(c2ws[F_big:], jnp.float32),
+        jnp.asarray(K[:F_big], jnp.float32),
+        jnp.asarray(K[F_big:], jnp.float32),
+    )
+    F_mats = jnp.stack([Fp, jnp.swapaxes(Fp, -1, -2)])
+    tok = HashTokenizer()
+    ids = jnp.asarray(tok(["sharded kernels"]))
+    neg = jnp.asarray(tok([""]))
+
+    kw = dict(num_inference_steps=2, rng=jax.random.key(5), decode=False)
+    ref = SimplePipeline(mods, F_mat_size=IMG_big, use_flash_kernel=False)(
+        ids, neg, plucker, F_mats, **kw)
+    mesh = inference_mesh(8)
+    got = SimplePipeline(
+        mods, F_mat_size=IMG_big, use_flash_kernel=True, mesh=mesh
+    )(ids, neg, plucker, F_mats, **kw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-3, atol=5e-3)
