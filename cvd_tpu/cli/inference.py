@@ -50,10 +50,19 @@ def main(args):
 
     logger.info("building pipeline")
     modules, tokenizer = build_modules(args, args.video_length, args.image_height)
+    mesh = None
+    if args.sharded:
+        import jax
+
+        from cvd_tpu.parallel import inference_mesh
+
+        mesh = inference_mesh(len(jax.devices()))
+        logger.info(f"sharded sampling over mesh {dict(mesh.shape)}")
     pipe = SimplePipeline(
         modules,
         F_mat_size=args.image_height,
         rand_slope_ff=True,
+        mesh=mesh,
     )
 
     # total frames with multidiff sliding windows (reference
@@ -142,6 +151,9 @@ def build_parser():
     p.add_argument("--num_videos", type=int, default=None)
     p.add_argument("--no_lora_validation", action="store_true")
     p.add_argument("--save_trajectory", action="store_true")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard sampling over all local devices "
+                        "(rows x frames mesh; kernels stay active per shard)")
     return p
 
 

@@ -79,12 +79,21 @@ def main(args):
 
     logger.info("building pipeline")
     modules, tokenizer = build_modules(args, F, args.image_height)
+    mesh = None
+    if args.sharded:
+        import jax
+
+        from cvd_tpu.parallel import inference_mesh
+
+        mesh = inference_mesh(len(jax.devices()))
+        logger.info(f"sharded sampling over mesh {dict(mesh.shape)}")
     pipe = AdvancedPipeline(
         modules,
         F_mat_size=args.image_height,
         rand_slope_ff=True,
         mono_direction=args.mono_direction,
         fix_firstframe=args.fix_firstframe,
+        mesh=mesh,
     )
     neg_ids = jnp.asarray(tokenizer([""]))
 
@@ -154,6 +163,9 @@ def build_parser():
     p.add_argument("--camera_dist", type=float, default=1.0)
     p.add_argument("--cam_perturb_traj", type=float, default=0.0)
     p.add_argument("--mono_direction", action="store_true")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard sampling over all local devices "
+                        "(rows x frames mesh; kernels stay active per shard)")
     p.add_argument("--fix_firstframe", action="store_true")
     return p
 

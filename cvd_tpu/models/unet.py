@@ -73,6 +73,10 @@ class UNetConfig:
     fuse_first_frame: bool = False
     # auxiliary q/k output channels for the epipolar training loss
     additional_channel: int = 0
+    # recompute block activations in the backward pass (jax.checkpoint per
+    # UNet block). Full-size training at 16f/256px needs ~19 GB of saved
+    # activations without it — over a v5e chip's 16 GB HBM.
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def scaled(self, width_factor: float) -> "UNetConfig":
@@ -345,6 +349,14 @@ class UNet3DConditionModel(nn.Module):
         if pose_features is None:
             pose_features = [None] * 4
 
+        # rematerialized block variants for memory-bound training
+        DownCls, PlainDownCls, MidCls, UpCls = (
+            (nn.remat(CrossAttnDownBlock), nn.remat(DownBlock),
+             nn.remat(MidBlock), nn.remat(CrossAttnUpBlock))
+            if cfg.remat
+            else (CrossAttnDownBlock, DownBlock, MidBlock, CrossAttnUpBlock)
+        )
+
         x = _unfold(
             Conv2d(ch[0], 3, 1, 1, dtype=cfg.dtype, name="conv_in")(_fold(sample)), B
         )
@@ -364,14 +376,14 @@ class UNet3DConditionModel(nn.Module):
             use_motion = cfg.use_motion_module and res in cfg.motion_module_resolutions
             use_epi = cfg.use_epi_module and res in cfg.epi_module_resolutions
             if not is_final:
-                x, res_states, aux = CrossAttnDownBlock(
+                x, res_states, aux = DownCls(
                     ch[i], cfg.layers_per_block, heads, cfg.cross_attention_dim,
                     add_downsample=True, use_motion=use_motion, use_epi=use_epi,
                     cfg=cfg, name=f"down_blocks_{i}",
                 )(x, temb, encoder_hidden_states, pose_features[i], epi_cond,
                   lora_scale=lora_scale)
             else:
-                x, res_states, aux = DownBlock(
+                x, res_states, aux = PlainDownCls(
                     ch[i], cfg.layers_per_block, add_downsample=False,
                     use_motion=use_motion, use_epi=use_epi,
                     cfg=cfg, name=f"down_blocks_{i}",
@@ -385,7 +397,7 @@ class UNet3DConditionModel(nn.Module):
             ]
 
         # mid
-        x, aux = MidBlock(
+        x, aux = MidCls(
             ch[-1], heads, cfg.cross_attention_dim,
             use_motion=cfg.use_motion_module and cfg.motion_module_mid_block,
             use_epi=cfg.use_epi_module and cfg.epi_module_mid_block,
@@ -416,7 +428,7 @@ class UNet3DConditionModel(nn.Module):
             n_layers = cfg.layers_per_block + 1
             res_states = res_stack[-n_layers:]
             res_stack = res_stack[:-n_layers]
-            x, aux = CrossAttnUpBlock(
+            x, aux = UpCls(
                 out_ch, prev_out, in_ch, n_layers, heads, cfg.cross_attention_dim,
                 add_upsample=not is_final, use_motion=use_motion, use_epi=use_epi,
                 has_attention=(i != 0),  # up_block 0 is UpBlock3D (no spatial attn)

@@ -29,6 +29,7 @@ def train_step(
     epi_loss_weight: float = 0.002,
     num_train_timesteps: int = 1000,
     use_flash_kernel: Optional[bool] = None,
+    remat: bool = True,
 ):
     """One optimization step.
 
@@ -86,8 +87,18 @@ def train_step(
         ),
     )
 
+    unet = m.unet
+    if remat and not unet.config.remat:
+        # recompute block activations in backward: full-size 16f/256px
+        # training does not fit a 16 GB chip without it
+        import dataclasses
+
+        from cvd_tpu.models.unet import UNet3DConditionModel
+
+        unet = UNet3DConditionModel(dataclasses.replace(unet.config, remat=True))
+
     def loss_fn(params):
-        pred, extras = m.unet.apply(
+        pred, extras = unet.apply(
             params, noisy, timesteps, text, pose_feats, epi_cond,
             rngs={"epi_slope": slope_key},
         )
