@@ -52,8 +52,6 @@ def main(args):
     modules, tokenizer = build_modules(args, args.video_length, args.image_height)
     mesh = None
     if args.sharded:
-        import jax
-
         from cvd_tpu.parallel import inference_mesh
 
         mesh = inference_mesh(len(jax.devices()))

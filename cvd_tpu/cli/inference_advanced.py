@@ -81,8 +81,6 @@ def main(args):
     modules, tokenizer = build_modules(args, F, args.image_height)
     mesh = None
     if args.sharded:
-        import jax
-
         from cvd_tpu.parallel import inference_mesh
 
         mesh = inference_mesh(len(jax.devices()))

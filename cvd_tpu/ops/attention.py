@@ -1,10 +1,12 @@
-"""Attention dispatch: XLA reference path now, Pallas fused kernels pluggable.
+"""XLA reference attention with a materialized additive bias.
 
 The epi attention's bias is an additive float mask [B, Lq, Lk] (or
-[B, H, Lq, Lk]); the XLA path materializes it (like the reference's SDPA
-call, attention_processor.py:617-619). The Pallas path (ops/epi_flash.py)
-computes the bias per tile inside VMEM from line coefficients — wired in via
-``attention_with_bias(..., use_flash=True, bias_spec=...)`` once available.
+[B, H, Lq, Lk]); this path materializes it like the reference's SDPA call
+(attention_processor.py:617-619). It serves as the parity/verification
+reference, the GSPMD fallback, and the multi-group (m>1 kv routing) path.
+The production paths are the fused Pallas kernels in ops/epi_flash.py
+(bias evaluated per tile in VMEM from factored line geometry) and
+ops/temporal_attn.py.
 """
 from __future__ import annotations
 
