@@ -142,6 +142,11 @@ def main(args):
         process_count=jax.process_count(),
     )
     logger.info(f"dataset: {len(dataset)} clips, {len(loader)} steps/epoch")
+    if len(loader) == 0:
+        raise SystemExit(
+            f"empty dataset/loader (root={train_cfg['root_path']}, "
+            f"batch={cfg.get('train_batch_size', 1)}) — nothing to train on"
+        )
 
     # -- state + mesh ---------------------------------------------------------
     mesh = create_mesh()

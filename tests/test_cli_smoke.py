@@ -71,3 +71,56 @@ def test_inference_advanced_cli_smoke(tmp_path):
     assert (sub / "transforms.json").exists()
     meta = json.loads((sub / "transforms.json").read_text())
     assert len(meta["frames"]) == 2 * 2  # V * F
+
+
+def test_train_cli_smoke(tmp_path):
+    """Drives cli.train end-to-end: synthetic RealEstate10K root -> folded
+    batches -> jitted mesh train step -> orbax + reference-format ckpts."""
+    import yaml
+    from PIL import Image
+
+    from cvd_tpu.cli.train import build_parser, main
+
+    root = tmp_path / "re10k"
+    os.makedirs(root / "RealEstate10K" / "train")
+    os.makedirs(root / "annotation_json")
+    captions = {}
+    rng = np.random.default_rng(0)
+    for c in range(4):
+        clip = f"clip{c}"
+        _write_pose_file(root / "RealEstate10K" / "train" / f"{clip}.txt", n=9)
+        frame_dir = root / "dataset" / "train" / clip
+        os.makedirs(frame_dir)
+        for i in range(9):
+            arr = (rng.random((72, 72, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(frame_dir / f"{i * 1000}.png")
+        captions[clip + ".mp4"] = [f"caption for {clip}"]
+    json.dump(captions, open(root / "annotation_json" / "train_captions.json", "w"))
+
+    out_dir = tmp_path / "run"
+    cfg = {
+        "output_dir": str(out_dir),
+        "random_weights": True,
+        "sample_size": 64,
+        "sample_n_frames": 2,
+        "train_data": {"root_path": str(root), "sample_stride": 1},
+        "train_batch_size": 4,   # 8 folded rows over the 8-device mesh
+        "num_workers": 0,
+        "learning_rate": 1e-4,
+        "max_train_steps": 2,
+        "checkpointing_steps": 2,
+        "logger_interval": 1,
+        "global_seed": 7,
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+    args = build_parser().parse_args(["--config", str(cfg_path)])
+    main(args)
+
+    ckpts = out_dir / "checkpoints"
+    assert (ckpts / "step-2").exists()               # orbax
+    assert (ckpts / "checkpoint-step-2.ckpt").exists()  # reference format
+    assert (out_dir / "metrics.jsonl").exists() or any(
+        p.name.endswith(".jsonl") for p in out_dir.iterdir()
+    )
