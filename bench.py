@@ -44,6 +44,11 @@ def main():
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--f32", action="store_true", help="disable bf16 activations")
     p.add_argument("--tiny", action="store_true", help="tiny model smoke run")
+    p.add_argument("--advanced", action="store_true",
+                   help="bench the N-view advanced pipeline instead "
+                        "(--views views, multistep per run_inference_advanced.sh)")
+    p.add_argument("--views", type=int, default=4)
+    p.add_argument("--multistep", type=int, default=3)
     args = p.parse_args()
 
     from cvd_tpu.utils.cache import enable_compilation_cache
@@ -86,7 +91,8 @@ def main():
     init_s = time.time() - t0
     _note(f"init done in {init_s:.1f}s")
 
-    V, F, IMG = 2, args.frames, args.size
+    V = args.views if args.advanced else 2
+    F, IMG = args.frames, args.size
     c2ws = G.circle_trajectory(V, F, camera_dist=0.4)
     K = default_intrinsics(V, F, IMG, IMG)
     intr = np.stack([K[:, 0, 0], K[:, 1, 1], K[:, 0, 2], K[:, 1, 2]], -1)
@@ -94,34 +100,59 @@ def main():
         jnp.asarray(intr, jnp.float32)[None], jnp.asarray(c2ws, jnp.float32)[None],
         IMG, IMG,
     )[0].reshape(V, F, IMG, IMG, 6)
-    Fp = G.fundamental_between_views(
-        jnp.asarray(c2ws[:F], jnp.float32), jnp.asarray(c2ws[F:], jnp.float32),
-        jnp.asarray(K[:F], jnp.float32), jnp.asarray(K[F:], jnp.float32),
-    )
-    F_mats = jnp.stack([Fp, jnp.swapaxes(Fp, -1, -2)])
     tok = HashTokenizer()
     ids = jnp.asarray(tok(["a cinematic fly-through of a modern house"]))
     neg = jnp.asarray(tok([""]))
 
-    pipe = SimplePipeline(modules, F_mat_size=IMG)
+    if args.advanced:
+        from cvd_tpu.pipelines.advanced import AdvancedPipeline
+
+        pipe_a = AdvancedPipeline(modules, F_mat_size=IMG)
+        run = lambda key: pipe_a(
+            ids, neg, plucker,
+            c2w=jnp.asarray(c2ws, jnp.float32),
+            K_mats=jnp.asarray(K, jnp.float32),
+            num_inference_steps=args.steps, multistep=args.multistep,
+            rng=key,
+        )
+    else:
+        Fp = G.fundamental_between_views(
+            jnp.asarray(c2ws[:F], jnp.float32), jnp.asarray(c2ws[F:], jnp.float32),
+            jnp.asarray(K[:F], jnp.float32), jnp.asarray(K[F:], jnp.float32),
+        )
+        F_mats = jnp.stack([Fp, jnp.swapaxes(Fp, -1, -2)])
+        pipe = SimplePipeline(modules, F_mat_size=IMG)
+        run = lambda key: pipe(ids, neg, plucker, F_mats,
+                               num_inference_steps=args.steps, rng=key)
 
     _note("compiling end-to-end pipeline")
     t0 = time.time()
-    out = pipe(ids, neg, plucker, F_mats, num_inference_steps=args.steps,
-               rng=jax.random.key(0))
-    _sync(out)
+    _sync(run(jax.random.key(0)))
     compile_s = time.time() - t0
     _note(f"compile done in {compile_s:.1f}s")
 
     times = []
     for i in range(args.repeats):
         t0 = time.time()
-        out = pipe(ids, neg, plucker, F_mats, num_inference_steps=args.steps,
-                   rng=jax.random.key(i + 1))
-        _sync(out)
+        _sync(run(jax.random.key(i + 1)))
         times.append(time.time() - t0)
         _note(f"e2e repeat {i}: {times[-1]:.2f}s")
     e2e_s = float(np.median(times))
+
+    if args.advanced:
+        videos_per_min = V / e2e_s * 60.0
+        print(json.dumps({
+            "metric": "advanced_videos_per_min_per_chip",
+            "value": round(videos_per_min, 3),
+            "unit": "videos/min",
+            "vs_baseline": round(videos_per_min / 6.0, 3),
+            "e2e_seconds": round(e2e_s, 3),
+            "compile_seconds": round(compile_s, 1),
+            "config": f"{V}view-{F}f-{IMG}px-{args.steps}steps-"
+                      f"ms{args.multistep}-"
+                      f"{'f32' if args.f32 else 'bf16'}{'-tiny' if args.tiny else ''}",
+        }))
+        return
 
     # denoise-only (no VAE decode) to expose UNet step time
     _note("compiling denoise-only variant")

@@ -126,7 +126,9 @@ def _fits_kernel(x3, groups: int, force: bool) -> bool:
         # whole-C blocks are legal at any C (equal-to-dimension rule);
         # S tiles the sublane dim
         and S * C * x3.dtype.itemsize <= 2 * _BLOCK_BYTES  # one row per block
-        and (force or bytes_total >= _MIN_BYTES)
+        # narrow-C tiles pad to 128 lanes and can spill (tiny smoke models):
+        # production channel counts (>=128) only, unless forced for tests
+        and (force or (C >= 128 and bytes_total >= _MIN_BYTES))
     )
 
 
