@@ -94,7 +94,11 @@ class AdvancedPipeline:
                     multistep=multistep,
                     accumulate_step=accumulate_step,
                     decode=decode,
-                )
+                ),
+                # plucker (arg 3) is dead after the one pose-encoder call;
+                # donating frees its ~150 MB f32 buffer (6 views is within
+                # ~230 MB of the v5e HBM limit)
+                donate_argnums=(3,),
             )
         from cvd_tpu.models import layers as _layers
 
@@ -129,11 +133,16 @@ class AdvancedPipeline:
 
         from cvd_tpu.parallel import constrain as _constrain
 
-        pose_feats = m.pose_encoder.apply(params["pose"], plucker)
-        pose_feats = [
-            _constrain(interleave_cfg(p), self.mesh, "rows", "frames")
-            for p in pose_feats
-        ]
+        # UNet compute dtype (see pipelines/simple.py — f32 features held
+        # across the scan dominate HBM at high view counts)
+        pose_feats = jax.tree_util.tree_map(
+            lambda p: p.astype(m.unet.config.dtype),
+            m.pose_encoder.apply(params["pose"], plucker),
+        )
+        # CFG interleave happens per step inside guided_eps: the 2V-row
+        # duplicate is transient instead of held across the 25-step scan
+        # (~0.7 GB at 6 views — the difference between fitting one chip
+        # or not)
 
         rng, init_key = jax.random.split(rng)
         if latents is None:
@@ -189,8 +198,12 @@ class AdvancedPipeline:
             lat_in = interleave_cfg(lat)
             lat_in = constrain(lat_in, self.mesh, "rows", "frames")
             lat_in = m.scheduler.scale_model_input(lat_in, t)
+            pf = [
+                constrain(interleave_cfg(p), self.mesh, "rows", "frames")
+                for p in pose_feats
+            ]
             eps, _ = m.unet.apply(
-                params["unet"], lat_in, t, text, pose_feats, cond_t,
+                params["unet"], lat_in, t, text, pf, cond_t,
                 rngs={"epi_slope": slope_key},
             )
             return eps[0::2] + guidance_scale * (eps[1::2] - eps[0::2])

@@ -71,6 +71,10 @@ class PipelineModules:
         unet = UNet3DConditionModel(unet_config)
         vae = AutoencoderKL(vae_config)
         clip = CLIPTextEncoder(clip_config)
+        # pose encoder computes in the UNet dtype: at 6 views x 16 frames its
+        # f32 stage-0 activations alone are ~0.5 GB (params stay f32;
+        # flax casts per-op)
+        pose_encoder_kwargs.setdefault("dtype", unet_config.dtype)
         pose_encoder = CameraPoseEncoder(
             channels=unet_config.block_out_channels, **pose_encoder_kwargs
         )

@@ -124,7 +124,13 @@ class SimplePipeline:
         # rows: [uncond-src, cond-src, uncond-tgt, cond-tgt]
         text = jnp.concatenate([uncond, cond, uncond, cond], axis=0)
 
-        pose_feats_full = m.pose_encoder.apply(params["pose"], plucker)
+        # cast to the UNet compute dtype: f32 features held across the whole
+        # 25-step scan cost ~1.4 GB of HBM at 6 views (the UNet reads them
+        # in bf16 anyway)
+        pose_feats_full = jax.tree_util.tree_map(
+            lambda p: p.astype(m.unet.config.dtype),
+            m.pose_encoder.apply(params["pose"], plucker),
+        )
         # chunk-ordered CFG duplication: [src, src, tgt, tgt]
         pose_feats_full = [
             jnp.concatenate([p[:1], p[:1], p[1:], p[1:]], axis=0)
