@@ -108,8 +108,10 @@ def main():
         from cvd_tpu.pipelines.advanced import AdvancedPipeline
 
         pipe_a = AdvancedPipeline(modules, F_mat_size=IMG)
+        # the advanced jit donates the plucker buffer; ship a fresh
+        # device-side copy per call so repeats don't hit a deleted buffer
         run = lambda key: pipe_a(
-            ids, neg, plucker,
+            ids, neg, jnp.copy(plucker),
             c2w=jnp.asarray(c2ws, jnp.float32),
             K_mats=jnp.asarray(K, jnp.float32),
             num_inference_steps=args.steps, multistep=args.multistep,

@@ -98,8 +98,21 @@ def sharded_epi_flash(
     """Cross-video epipolar attention on [(b f), N, C] tokens.
 
     kv_index: [B_glob] int32 GLOBAL row routing (query row g reads k/v of
-    row kv_index[g]); partners always share the frame index, so after the
-    'rows' all-gather the partner row is guaranteed locally present.
+    row kv_index[g]); partners always share the frame index.
+
+    The joint P(("rows","frames")) sharding of the flattened (b f) dim
+    assigns device d = r*Cf + c the CONTIGUOUS global rows
+    [d*B_loc, (d+1)*B_loc) with B_loc = (Bv/R)*(Fw/Cf) — which factorizes
+    as (video-block, frame-block) ONLY when Bv == R. In that case a
+    'rows'-only all-gather holds every partner (partners share the frame,
+    hence the device's frames coordinate), and the gathered position of
+    global row g is (chunk(g)//Cf)*B_loc + g%B_loc with
+    chunk(g) = g//B_loc. When Bv > R and Cf > 1 the chunking splits
+    VIDEOS across the frames axis, so a same-frame partner can live on a
+    device with a different frames coordinate — then we gather k/v over
+    BOTH mesh axes (reconstructing the full global rows in order, since
+    the tuple-axis gather concatenates rows-major/frames-minor exactly
+    like the chunk assignment) and route with the global index directly.
     """
     from cvd_tpu.ops.epi_flash import epi_flash_attention
 
@@ -112,17 +125,22 @@ def sharded_epi_flash(
     Fw = video_length
     F_loc = Fw // Cf
     B_loc = (B_videos // R) * F_loc            # rows per device
+    # rows-only gather is sufficient iff chunk(g) % Cf depends only on the
+    # frame index — true exactly when Bv/R == 1 (or trivially Cf == 1)
+    full_gather = (B_videos // R) > 1 and Cf > 1
 
     def local(ql, kl, vl, linesl, bandl, alphal, idxl):
-        kg = jax.lax.all_gather(kl, "rows", axis=0, tiled=True)
-        vg = jax.lax.all_gather(vl, "rows", axis=0, tiled=True)
-        # gathered rows hold ALL videos b but only MY frame block:
-        # gathered position of global row (b', f') = b' * F_loc + (f' - off)
-        c = jax.lax.axis_index("frames")
-        off = c * F_loc
-        b_p = idxl // Fw
-        f_p = idxl % Fw
-        local_idx = (b_p * F_loc + (f_p - off)).astype(jnp.int32)
+        if full_gather:
+            kg = jax.lax.all_gather(kl, ("rows", "frames"), axis=0, tiled=True)
+            vg = jax.lax.all_gather(vl, ("rows", "frames"), axis=0, tiled=True)
+            local_idx = idxl.astype(jnp.int32)  # full global rows present
+        else:
+            kg = jax.lax.all_gather(kl, "rows", axis=0, tiled=True)
+            vg = jax.lax.all_gather(vl, "rows", axis=0, tiled=True)
+            # gathered block = [chunk(0*Cf+c), chunk(1*Cf+c), ...]; global
+            # row g sits at (chunk(g)//Cf)*B_loc + g%B_loc
+            d = idxl // B_loc
+            local_idx = ((d // Cf) * B_loc + idxl % B_loc).astype(jnp.int32)
         return epi_flash_attention(
             ql, kg, vg, linesl, coords, bandl, alphal,
             heads=heads, kv_index=local_idx,

@@ -141,8 +141,14 @@ def make_jitted_train_step(modules: PipelineModules, mesh=None, **kwargs):
         jitted = jax.jit(step, donate_argnums=(0,))
 
         def run_single(state, batch, rng):
-            _layers.FLASH_SPATIAL = True  # trace-time switch
-            return jitted(state, batch, rng, frozen)
+            # trace-time switches; save/restore so an exception (or this
+            # call itself) can't leak flags into an unrelated later trace
+            prev = (_layers.FLASH_SPATIAL, _layers.SHARD_MESH)
+            _layers.FLASH_SPATIAL, _layers.SHARD_MESH = True, None
+            try:
+                return jitted(state, batch, rng, frozen)
+            finally:
+                _layers.FLASH_SPATIAL, _layers.SHARD_MESH = prev
 
         return run_single
 
@@ -159,7 +165,11 @@ def make_jitted_train_step(modules: PipelineModules, mesh=None, **kwargs):
     )
 
     def run_sharded(state, batch, rng):
-        _layers.FLASH_SPATIAL = False  # trace-time switch (see above)
-        return jitted(state, batch, rng, frozen)
+        prev = (_layers.FLASH_SPATIAL, _layers.SHARD_MESH)
+        _layers.FLASH_SPATIAL, _layers.SHARD_MESH = False, None
+        try:
+            return jitted(state, batch, rng, frozen)
+        finally:
+            _layers.FLASH_SPATIAL, _layers.SHARD_MESH = prev
 
     return run_sharded

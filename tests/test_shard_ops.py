@@ -75,11 +75,19 @@ def test_sharded_temporal_with_mask(mesh):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("rows", [4, 2])
 @pytest.mark.parametrize("routing", ["swap", "random"])
-def test_sharded_epi_matches_single(mesh, routing):
+@pytest.mark.parametrize("Bv", [4, 8, 12])
+def test_sharded_epi_matches_single(routing, Bv, rows):
+    # Bv=4 on (4,2): one video per row-shard (rows-only gather path);
+    # Bv=8/12 on (4,2) and Bv=4/8/12 on (2,4): videos-per-row-shard > 1,
+    # where the chunking splits videos across the frames axis and the
+    # full both-axes gather path must kick in (the round-1 routing bug:
+    # silently wrong kv rows for exactly these configs).
+    mesh = inference_mesh(8, rows=rows)
     rng = np.random.default_rng(3)
     feat, H, D = 16, 2, 16
-    Bv, Fw = 4, 4                       # 4 videos x 4 frames = 16 rows
+    Fw = 4
     B, N, S = Bv * Fw, feat * feat, 256
     C = H * D
     q = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
@@ -93,7 +101,8 @@ def test_sharded_epi_matches_single(mesh, routing):
     if routing == "swap":
         b_partner = np.roll(np.arange(Bv), Bv // 2)
     else:
-        b_partner = np.asarray([2, 3, 1, 0])  # arbitrary video permutation
+        b_partner = np.asarray(
+            np.random.default_rng(Bv).permutation(Bv))  # arbitrary pairing
     # global row routing: partner video, same frame
     route = jnp.asarray(
         (b_partner[:, None] * Fw + np.arange(Fw)[None, :]).reshape(-1),
