@@ -27,6 +27,7 @@ from flax import traverse_util
 
 SKIP_SUBSTRINGS = (
     "pos_encoder.pe",
+    "pos_encoder.coords",  # EpiEncoding pixel-grid buffer (epi_module.py:288)
     "position_ids",
     "num_batches_tracked",
 )

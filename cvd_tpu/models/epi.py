@@ -274,13 +274,13 @@ class EpiTransformerBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, cond: Optional[EpiConditioning]):
         aux = []
         for i in range(self.num_attention_blocks):
-            h = nn.LayerNorm(dtype=self.dtype, name=f"norms_{i}")(x)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norms_{i}")(x)
             res, qk = EpiSelfAttention(
                 self.dim, self.heads, dtype=self.dtype, name=f"attention_blocks_{i}"
             )(h, cond)
             x = x + res
             aux.append(qk)
-        h = nn.LayerNorm(dtype=self.dtype, name="ff_norm")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ff_norm")(x)
         x = FeedForward(self.dim, dtype=self.dtype, name="ff")(h) + x
         return x, aux
 

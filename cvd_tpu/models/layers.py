@@ -425,7 +425,7 @@ class BasicTransformerBlock(nn.Module):
     def __call__(
         self, x: jnp.ndarray, context: jnp.ndarray, lora_scale: float = 1.0
     ) -> jnp.ndarray:
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         self_ctx = None
         if self.extended_attention:
             half = h.shape[0] // 2
@@ -435,7 +435,7 @@ class BasicTransformerBlock(nn.Module):
             self.dim, self.heads, self.dim_head, lora_rank=self.lora_rank,
             dtype=self.dtype, name="attn1",
         )(h, self_ctx, lora_scale=lora_scale)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         x = x + Attention(
             self.dim,
             self.heads,
@@ -445,7 +445,7 @@ class BasicTransformerBlock(nn.Module):
             dtype=self.dtype,
             name="attn2",
         )(h, context, lora_scale=lora_scale)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm3")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
         x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
         return x
 

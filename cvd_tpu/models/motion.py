@@ -177,7 +177,7 @@ class TemporalTransformerBlock(nn.Module):
         self, x: jnp.ndarray, pose_feature: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
         for i in range(self.num_attention_blocks):
-            h = nn.LayerNorm(dtype=self.dtype, name=f"norms_{i}")(x)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norms_{i}")(x)
             x = (
                 TemporalSelfAttention(
                     self.dim,
@@ -191,7 +191,7 @@ class TemporalTransformerBlock(nn.Module):
                 )(h, pose_feature)
                 + x
             )
-        h = nn.LayerNorm(dtype=self.dtype, name="ff_norm")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ff_norm")(x)
         x = FeedForward(self.dim, dtype=self.dtype, name="ff")(h) + x
         return x
 
