@@ -150,3 +150,95 @@ def build_modules(args, video_length: int, image_size: int) -> Tuple[PipelineMod
         apply_civitai_lora(modules, args.civitai_lora_ckpt)
 
     return modules, get_tokenizer(args.ori_model_path)
+
+
+def validate_ckpts(args) -> int:
+    """--validate-ckpts dry run: route every checkpoint key (from the real
+    files when paths are given, else the built-in manifests) onto the
+    full-size Flax parameter trees WITHOUT allocating or loading weights.
+    Prints one line per artifact; non-zero exit on any unmapped key."""
+    from cvd_tpu.io import manifests as M
+    from cvd_tpu.io.key_mapping import merge_torch_state, vae_legacy_rename
+    from cvd_tpu.pipelines.common import abstract_param_shapes
+
+    shapes = abstract_param_shapes()
+    failures = 0
+
+    def check(name, tree, state, **kw):
+        nonlocal failures
+        try:
+            _, consumed = merge_torch_state(tree, state, strict=True,
+                                            dry_run=True, **kw)
+            extra = len(state) - len(consumed)
+            status = "ok" if extra == 0 else f"{extra} keys unconsumed"
+            failures += extra != 0
+        except KeyError as e:
+            status = str(e).splitlines()[0].strip("'")
+            failures += 1
+        print(f"[validate-ckpts] {name}: {len(state)} keys -> {status}")
+
+    def file_state(path, sub=None):
+        from cvd_tpu.io.torch_io import load_torch_state
+
+        return load_torch_state(path, sub_dict=sub)
+
+    from cvd_tpu.io.checkpoints import clip_rename
+
+    if args.ori_model_path:
+        import os
+
+        from cvd_tpu.io.torch_io import load_diffusers_folder_weights
+
+        sub = args.unet_subfolder or "unet"
+        check("unet (folder)", shapes["unet"],
+              load_diffusers_folder_weights(os.path.join(args.ori_model_path, sub)))
+        check("vae (folder)", shapes["vae"],
+              load_diffusers_folder_weights(os.path.join(args.ori_model_path, "vae")),
+              rename=vae_legacy_rename)
+        check("text_encoder (folder)", shapes["clip"],
+              load_diffusers_folder_weights(
+                  os.path.join(args.ori_model_path, "text_encoder")),
+              rename=clip_rename)
+    else:
+        check("unet (manifest)", shapes["unet"], M.zeros_state(M.sd15_unet_manifest()))
+        check("vae (manifest)", shapes["vae"], M.zeros_state(M.sd15_vae_manifest()),
+              rename=vae_legacy_rename)
+        check("text_encoder (manifest)", shapes["clip"],
+              M.zeros_state(M.sd15_clip_manifest()), rename=clip_rename)
+
+    check("motion module", shapes["unet"],
+          file_state(args.motion_module_ckpt) if args.motion_module_ckpt
+          else M.zeros_state(M.animatediff_v3_mm_manifest()))
+    check("epi module", shapes["unet"],
+          file_state(args.epi_module_ckpt, "unet_trainable_dict")
+          if args.epi_module_ckpt
+          else M.zeros_state(M.cvd_epi_ckpt_manifest()))
+    if args.pose_adaptor_ckpt:
+        check("pose encoder", shapes["pose"],
+              file_state(args.pose_adaptor_ckpt, "pose_encoder_state_dict"))
+        check("pose qkv_merge", shapes["unet"],
+              file_state(args.pose_adaptor_ckpt,
+                         "attention_processor_state_dict"))
+    else:
+        check("pose encoder", shapes["pose"],
+              M.zeros_state(M.cameractrl_pose_encoder_manifest()))
+        check("pose qkv_merge", shapes["unet"],
+              M.zeros_state(M.cameractrl_attention_processor_manifest()))
+    print(f"[validate-ckpts] {'FAILED' if failures else 'all artifacts map cleanly'}")
+    return 1 if failures else 0
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    add_model_args(p)
+    p.add_argument("--validate-ckpts", action="store_true", dest="validate",
+                   help="dry-run checkpoint key routing against the "
+                        "full-size parameter shapes (no weights loaded)")
+    args = p.parse_args()
+    if args.validate:
+        raise SystemExit(validate_ckpts(args))
+    p.error("nothing to do (pass --validate-ckpts)")
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,13 @@ def main(args):
     from cvd_tpu.utils.video import save_video, save_video_as_images, save_videos_grid
 
     logger = setup_logger(args.out_root)
+    if args.image_width != args.image_height:
+        raise SystemExit(
+            f"--image_width {args.image_width} != --image_height "
+            f"{args.image_height}: the epipolar attention mask assumes a "
+            "square token grid (reference parity — epi_module.py:294-299 "
+            "derives feat_size from sqrt(tokens)); use a square resolution"
+        )
     captions, negatives, seeds = load_prompts(
         args.caption_file, args.use_negative_prompt, args.num_videos
     )
@@ -78,6 +85,7 @@ def main(args):
         pose_file_1=args.pose_file_1,
         sample_n_frames=F_total,
         sample_size=args.image_height,
+        zero_first_frame_scale=args.zero_first_frame_scale,
     )
 
     for idx in range(len(dataset)):
@@ -142,7 +150,14 @@ def build_parser():
     p.add_argument("--caption_file", required=True)
     p.add_argument("--use_negative_prompt", action="store_true")
     p.add_argument("--use_specific_seeds", action="store_true")
-    p.add_argument("--zero_first_frame_scale", action="store_true")
+    p.add_argument("--zero_first_frame_scale", action="store_true", default=True,
+                   help="identity-first relative pose normalization (the "
+                        "default; reference launch scripts always pass it)")
+    p.add_argument("--preserve_first_frame_scale", dest="zero_first_frame_scale",
+                   action="store_false",
+                   help="keep the first camera's distance from the world "
+                        "origin (CameraCtrl get_relative_pose semantics, "
+                        "inference_epi_advanced.py:55-72)")
     p.add_argument("--global_seed", type=int, default=1024)
     p.add_argument("--pose_file_0", required=True)
     p.add_argument("--pose_file_1", required=True)

@@ -65,6 +65,19 @@ def main(args):
     from cvd_tpu.utils.video import save_video, save_video_as_images
 
     logger = setup_logger(args.out_root)
+    if args.image_width != args.image_height:
+        raise SystemExit(
+            f"--image_width {args.image_width} != --image_height "
+            f"{args.image_height}: the epipolar attention mask assumes a "
+            "square token grid (reference parity — epi_module.py:294-299); "
+            "use a square resolution"
+        )
+    if args.view_num % 2 != 0:
+        raise SystemExit(
+            f"--view_num {args.view_num} must be even: the per-step random "
+            "pairing is a perfect matching across views "
+            "(pipeline_animation_epi_advanced.py:621-633)"
+        )
     captions, negatives, seeds = load_prompts(args.caption_file, False)
 
     c2ws, K = build_cameras(args)  # [V*F, 4, 4], [V*F, 3, 3]
@@ -151,7 +164,11 @@ def build_parser():
     p.add_argument("--guidance_scale", type=float, default=8.5)
     p.add_argument("--caption_file", required=True)
     p.add_argument("--use_specific_seeds", action="store_true")
-    p.add_argument("--zero_first_frame_scale", action="store_true")
+    p.add_argument("--zero_first_frame_scale", action="store_true", default=True,
+                   help="identity-first pose normalization; procedural "
+                        "trajectories start at identity so both settings "
+                        "coincide here (as in the reference, whose "
+                        "get_relative_pose is never called on this path)")
     p.add_argument("--view_num", type=int, default=4)
     p.add_argument("--multistep", type=int, default=3)
     p.add_argument("--accumulate_step", type=int, default=1)
@@ -160,7 +177,9 @@ def build_parser():
                    default="circle")
     p.add_argument("--camera_dist", type=float, default=1.0)
     p.add_argument("--cam_perturb_traj", type=float, default=0.0)
-    p.add_argument("--mono_direction", action="store_true")
+    p.add_argument("--mono_direction", action="store_true",
+                   help="not supported — the reference raises too "
+                        "(attention_processor.py:622)")
     p.add_argument("--sharded", action="store_true",
                    help="shard sampling over all local devices "
                         "(rows x frames mesh; kernels stay active per shard)")

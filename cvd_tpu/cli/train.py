@@ -125,28 +125,66 @@ def main(args):
     modules, tokenizer = build_modules(margs, n_frames, sample_size)
 
     # -- data ---------------------------------------------------------------
-    train_cfg = cfg.get("train_data", {})
-    dataset = RealEstate10KPoseFolded(
-        root_path=train_cfg["root_path"],
-        sample_stride=train_cfg.get("sample_stride", 2),
-        sample_n_frames=n_frames,
-        sample_size=sample_size,
-        seed=cfg.get("global_seed", 42),
-    )
-    loader = DataLoader(
-        dataset,
-        batch_size=cfg.get("train_batch_size", 1),
-        num_workers=cfg.get("num_workers", 8),
-        seed=cfg.get("global_seed", 42),
-        process_index=jax.process_index(),
-        process_count=jax.process_count(),
-    )
-    logger.info(f"dataset: {len(dataset)} clips, {len(loader)} steps/epoch")
-    if len(loader) == 0:
-        raise SystemExit(
-            f"empty dataset/loader (root={train_cfg['root_path']}, "
-            f"batch={cfg.get('train_batch_size', 1)}) — nothing to train on"
+    # dataset selection by name (train_epi_control.py:71-92). Hybrid training
+    # keeps each BATCH kind-homogeneous (all-posed or all-unposed) and
+    # alternates kinds across steps, so each jitted step signature stays
+    # fixed-shape; the reference mixes kinds across DDP ranks the same way.
+    train_cfg = dict(cfg.get("train_data", {}))
+    dataset_name = train_cfg.pop("dataset_name", "realestate10k")
+    seed = cfg.get("global_seed", 42)
+
+    def make_re10k(c):
+        return RealEstate10KPoseFolded(
+            root_path=c["root_path"],
+            sample_stride=c.get("sample_stride", 2),
+            sample_n_frames=n_frames,
+            sample_size=sample_size,
+            seed=seed,
         )
+
+    def make_webvid(c):
+        from cvd_tpu.data.webvid import WebVidFolded
+
+        return WebVidFolded(
+            root_path=c["root_path"],
+            sample_n_frames=n_frames,
+            sample_size=sample_size,
+            seed=seed,
+        )
+
+    if dataset_name in ("realestate10k", "realestate10k_local",
+                        "realestate10k_remote"):
+        sources = [("posed", make_re10k(train_cfg), 1.0)]
+    elif dataset_name in ("webvid10m", "webvid10m_remote"):
+        sources = [("unposed", make_webvid(train_cfg), 1.0)]
+    elif dataset_name == "hybrid":
+        ratio = float(train_cfg.get("posed_ratio", 0.5))
+        sources = [
+            ("posed", make_re10k(train_cfg["realestate10k"]), ratio),
+            ("unposed", make_webvid(train_cfg["webvid10m"]), 1.0 - ratio),
+        ]
+    else:
+        raise SystemExit(f"Unsupported dataset_name: {dataset_name!r}")
+
+    loaders = []
+    for kind, dataset, weight in sources:
+        loader = DataLoader(
+            dataset,
+            batch_size=cfg.get("train_batch_size", 1),
+            num_workers=cfg.get("num_workers", 8),
+            seed=seed,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
+        )
+        logger.info(
+            f"dataset[{kind}]: {len(dataset)} clips, {len(loader)} steps/epoch"
+        )
+        if len(loader) == 0:
+            raise SystemExit(
+                f"empty {kind} dataset/loader "
+                f"(batch={cfg.get('train_batch_size', 1)}) — nothing to train on"
+            )
+        loaders.append((kind, loader, weight))
 
     # -- state + mesh ---------------------------------------------------------
     mesh = create_mesh()
@@ -179,70 +217,113 @@ def main(args):
     rng = jax.random.key(cfg.get("global_seed", 42) + jax.process_index())
     pyrng = random.Random(cfg.get("global_seed", 42))
 
+    def fold(x):
+        # fold the 2F-frame pair video-major like torch.cat(chunk(2,1)) (:516)
+        return np.concatenate([x[:, :n_frames], x[:, n_frames:]], axis=0)
+
+    def fold_batch(batch, texts):
+        device_batch = {
+            "pixel_values": fold(batch["pixel_values"]),
+            "text_ids": np.concatenate([tokenizer(texts)] * 2, axis=0),
+        }
+        if "plucker_embedding" in batch:  # posed (RealEstate10K)
+            device_batch["plucker"] = fold(batch["plucker_embedding"])
+            device_batch["F_mats"] = fold(batch["F_mats"])
+        else:  # unposed (WebVid): pseudo-epipolar homographies + masks
+            device_batch["H_mats"] = fold(batch["H_mats"])
+            device_batch["warped_masks"] = fold(batch["warped_masks"])
+        return device_batch
+
+    def sanity_dump(batch, texts):
+        """First-iteration raw-batch dumps (do_sanity_check,
+        train_epi_control.py:503-510) + an epipolar/homography overlay from
+        the TRAINING batch (:419-431)."""
+        import imageio
+
+        from cvd_tpu.utils.video import save_videos_grid
+        from cvd_tpu.utils.visualize import check_fundamental
+
+        sdir = os.path.join(out_dir, "sanity_check")
+        os.makedirs(sdir, exist_ok=True)
+        px = batch["pixel_values"]  # [b, 2F, H, W, 3] in [-1, 1]
+        for i, text in enumerate(texts):
+            name = "-".join(text.replace("/", "").split()[:10]) or f"0-{i}"
+            save_videos_grid((px[i : i + 1] + 1) / 2,
+                             os.path.join(sdir, f"{name}.gif"))
+        mats = batch.get("F_mats", batch.get("H_mats"))
+        if mats is not None:
+            overlay = check_fundamental(
+                px[0, n_frames // 2], px[0, n_frames + n_frames // 2],
+                mats[0, n_frames // 2],
+            )
+            imageio.imwrite(os.path.join(sdir, "epi_overlay.png"), overlay)
+
+    def endless(loader):
+        while True:
+            yield from loader
+
+    iters = [(kind, endless(loader), weight) for kind, loader, weight in loaders]
+    steps_per_epoch = max(1, len(loaders[0][1]))
+    do_sanity = cfg.get("do_sanity_check", True)
+    sched_rng = random.Random(seed + 1)
+
     logger.info("training starts")
     t_iter = time.time()
     while global_step < max_steps:
-        for batch in loader:
-            t_data = time.time()
-            texts = [
-                "" if pyrng.random() < null_ratio else t for t in batch["text"]
-            ]
-            px = batch["pixel_values"]  # [b, 2F, H, W, 3]
-            b = px.shape[0]
-            device_batch = {
-                # fold pair video-major like torch.cat(chunk(2,1)) (:516)
-                "pixel_values": np.concatenate(
-                    [px[:, :n_frames], px[:, n_frames:]], axis=0
-                ),
-                "text_ids": np.concatenate([tokenizer(texts)] * 2, axis=0),
-                "plucker": np.concatenate(
-                    [batch["plucker_embedding"][:, :n_frames],
-                     batch["plucker_embedding"][:, n_frames:]], axis=0
-                ),
-                "F_mats": np.concatenate(
-                    [batch["F_mats"][:, :n_frames], batch["F_mats"][:, n_frames:]],
-                    axis=0,
-                ),
-            }
-            device_batch = shard_batch(
-                jax.tree_util.tree_map(jnp.asarray, device_batch), mesh
+        # pick this step's (kind-homogeneous) source by weight
+        if len(iters) == 1:
+            kind, it, _ = iters[0]
+        else:
+            r, acc = sched_rng.random(), 0.0
+            for kind, it, weight in iters:
+                acc += weight
+                if r < acc:
+                    break
+        batch = next(it)
+        t_data = time.time()
+        texts = [
+            "" if pyrng.random() < null_ratio else t for t in batch["text"]
+        ]
+        if do_sanity and global_step == 0 and jax.process_index() == 0:
+            sanity_dump(batch, batch["text"])
+        device_batch = shard_batch(
+            jax.tree_util.tree_map(jnp.asarray, fold_batch(batch, texts)),
+            mesh,
+        )
+        rng, step_rng = jax.random.split(rng)
+        state, m = step_fn(state, device_batch, step_rng)
+        global_step += 1
+
+        if global_step % log_every == 0:
+            loss = float(m["loss"])
+            now = time.time()
+            logger.info(
+                f"iter {global_step}/{max_steps} loss {loss:.4f} "
+                f"epi {float(m['epi_loss']):.4f} "
+                f"data {now - t_iter - (now - t_data):.2f}s "
+                f"iter {now - t_data:.2f}s "
+                f"ETA {format_time((now - t_iter) * (max_steps - global_step))}"
             )
-            rng, step_rng = jax.random.split(rng)
-            state, m = step_fn(state, device_batch, step_rng)
-            global_step += 1
+            metrics_log.log(global_step, loss=loss, epi_loss=float(m["epi_loss"]))
+        t_iter = time.time()
 
-            if global_step % log_every == 0:
-                loss = float(m["loss"])
-                now = time.time()
-                logger.info(
-                    f"iter {global_step}/{max_steps} loss {loss:.4f} "
-                    f"epi {float(m['epi_loss']):.4f} "
-                    f"data {now - t_iter - (now - t_data):.2f}s "
-                    f"iter {now - t_data:.2f}s "
-                    f"ETA {format_time((now - t_iter) * (max_steps - global_step))}"
-                )
-                metrics_log.log(global_step, loss=loss, epi_loss=float(m["epi_loss"]))
-            t_iter = time.time()
+        val_every = cfg.get("validation_steps", 0)
+        if (
+            jax.process_index() == 0 and val_every
+            and global_step % val_every == 0
+        ):
+            run_validation(modules, tokenizer, cfg, out_dir, global_step, state)
 
-            val_every = cfg.get("validation_steps", 0)
-            if (
-                jax.process_index() == 0 and val_every
-                and global_step % val_every == 0
-            ):
-                run_validation(modules, tokenizer, cfg, out_dir, global_step, state)
-
-            if jax.process_index() == 0 and global_step % ckpt_every == 0:
-                ck = os.path.join(out_dir, "checkpoints", f"step-{global_step}")
-                save_orbax(ck, jax.device_get(state), {"epoch": epoch})
-                save_reference_ckpt(
-                    os.path.join(out_dir, "checkpoints",
-                                 f"checkpoint-step-{global_step}.ckpt"),
-                    jax.device_get(state.params), epoch, global_step,
-                )
-                logger.info(f"saved checkpoint at step {global_step}")
-            if global_step >= max_steps:
-                break
-        epoch += 1
+        if jax.process_index() == 0 and global_step % ckpt_every == 0:
+            ck = os.path.join(out_dir, "checkpoints", f"step-{global_step}")
+            save_orbax(ck, jax.device_get(state), {"epoch": epoch})
+            save_reference_ckpt(
+                os.path.join(out_dir, "checkpoints",
+                             f"checkpoint-step-{global_step}.ckpt"),
+                jax.device_get(state.params), epoch, global_step,
+            )
+            logger.info(f"saved checkpoint at step {global_step}")
+        epoch = global_step // steps_per_epoch
     logger.info("training done")
 
 

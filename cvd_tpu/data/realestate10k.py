@@ -27,11 +27,14 @@ from cvd_tpu.geometry.plucker import ray_condition
 from cvd_tpu.geometry.trajectories import interpolate_pose_batch
 
 
-def _load_frame(path: str, sample_size: int) -> np.ndarray:
-    """Read a frame png/jpg, resize short side, centre crop, scale to [-1,1]."""
+def _transform_frame(img, sample_size: int) -> np.ndarray:
+    """Resize short side, centre crop, scale to [-1,1]. img: PIL Image or
+    uint8 RGB array."""
     from PIL import Image
 
-    img = Image.open(path).convert("RGB")
+    if not isinstance(img, Image.Image):
+        img = Image.fromarray(img)
+    img = img.convert("RGB")
     w, h = img.size
     scale = sample_size / min(w, h)
     img = img.resize((round(w * scale), round(h * scale)), Image.BILINEAR)
@@ -40,6 +43,47 @@ def _load_frame(path: str, sample_size: int) -> np.ndarray:
     img = img.crop((left, top, left + sample_size, top + sample_size))
     arr = np.asarray(img, np.float32) / 255.0
     return arr * 2.0 - 1.0
+
+
+def _load_frame(path: str, sample_size: int) -> np.ndarray:
+    """Read a frame png/jpg, resize short side, centre crop, scale to [-1,1]."""
+    from PIL import Image
+
+    with Image.open(path) as img:
+        return _transform_frame(img, sample_size)
+
+
+def read_video_frames(path: str, indices) -> tuple:
+    """Decode the given ORDINAL frames of a video via OpenCV (the mp4
+    ingestion the reference does with decord,
+    dataset_train_realestate10k.py:11,386-460). Returns
+    (frames RGB uint8 in the order of ``indices``, (H, W))."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise IOError(f"cannot open video {path}")
+    want = sorted({int(i) for i in indices})
+    out = {}
+    pos = 0
+    try:
+        while want:
+            ok = cap.grab()
+            if not ok:
+                break
+            if pos == want[0]:
+                ok, frame = cap.retrieve()
+                if not ok:
+                    break
+                out[pos] = frame[..., ::-1].copy()  # BGR -> RGB
+                want.pop(0)
+            pos += 1
+    finally:
+        cap.release()
+    if want:
+        raise IOError(f"{path}: frames {want} past end of video ({pos} read)")
+    first = out[next(iter(out))]
+    return [out[int(i)] for i in indices], first.shape[:2]
 
 
 class RealEstate10KPoseFolded:
@@ -108,16 +152,30 @@ class RealEstate10KPoseFolded:
         start = self.rng.randint(0, total - clip_length)
         frame_ids = np.linspace(start, start + clip_length - 1, sample_length).astype(int)
 
-        imgs, c2ws, Ks, intr = [], [], [], []
-        for fid in frame_ids:
-            cam = cams[fid]
-            img_path = os.path.join(entry["clip_path"], "%d.png" % int(cam.cid))
-            img = _load_frame(img_path, self.sample_size)
-            # original image size needed for K rescale: read from file once
-            from PIL import Image
+        # frames come from either pre-extracted pngs (<clip>/<cid>.png) or
+        # the clip's mp4 read by ordinal index (reference decord behavior)
+        mp4_path = entry["clip_path"] + ".mp4"
+        use_mp4 = (not os.path.isdir(entry["clip_path"])
+                   and os.path.exists(mp4_path))
+        raw_frames = None
+        if use_mp4:
+            raw_frames, (H0, W0) = read_video_frames(mp4_path, frame_ids)
 
-            with Image.open(img_path) as im:
-                W0, H0 = im.size
+        imgs, c2ws, Ks, intr = [], [], [], []
+        for k, fid in enumerate(frame_ids):
+            cam = cams[fid]
+            if use_mp4:
+                img = _transform_frame(raw_frames[k], self.sample_size)
+            else:
+                img_path = os.path.join(
+                    entry["clip_path"], "%d.png" % int(cam.cid)
+                )
+                img = _load_frame(img_path, self.sample_size)
+                # original image size needed for K rescale
+                from PIL import Image
+
+                with Image.open(img_path) as im:
+                    W0, H0 = im.size
             K, ii = intrinsics_for_crop(cam, H0, W0, self.sample_size)
             imgs.append(img)
             c2ws.append(cam.c2w)

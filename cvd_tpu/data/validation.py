@@ -14,7 +14,9 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from cvd_tpu.geometry.cameras import intrinsics_for_crop, parse_pose_file, relative_poses
+from cvd_tpu.geometry.cameras import (
+    get_relative_pose, intrinsics_for_crop, parse_pose_file,
+)
 from cvd_tpu.geometry.folding import fold_indices, folded_pair_F_mats
 from cvd_tpu.geometry.plucker import ray_condition
 
@@ -24,7 +26,7 @@ SOURCE_H, SOURCE_W = 1280, 720
 
 def load_pair_cameras(
     pose_file_0: str, pose_file_1: str, sample_size: int,
-    n_frames: Optional[int] = None,
+    n_frames: Optional[int] = None, zero_first_frame_scale: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """-> (c2w [2N-1,4,4], K [2N-1,3,3], intrinsics [2N-1,4]); second file is
     reversed, both normalized to a shared identity start (:180-240).
@@ -53,8 +55,11 @@ def load_pair_cameras(
 
     c2w_0, K_0, intr_0 = unpack(cams_0)
     c2w_1, K_1, intr_1 = unpack(cams_1)
-    c2w_0 = relative_poses(c2w_0, 0)
-    c2w_1 = relative_poses(c2w_1, 0)
+    # zero_first_frame_scale=True collapses to identity-first relative
+    # normalization; False keeps the first camera's distance from the world
+    # origin (CameraCtrl semantics, inference_epi_advanced.py:55-72)
+    c2w_0 = get_relative_pose(c2w_0, zero_first_frame_scale)
+    c2w_1 = get_relative_pose(c2w_1, zero_first_frame_scale)
     c2w = np.concatenate([c2w_0[1:][::-1], c2w_1], axis=0)
     # reference forces both K tracks to file-0's (dataset_validation.py:239-241)
     K = np.concatenate([K_0[1:][::-1], K_0], axis=0)
@@ -71,6 +76,7 @@ class ValRealEstate10KPoseFolded:
     sample_n_frames: int = 16
     sample_size: int = 256
     relative_pose: bool = True  # kept for config parity; poses always relative
+    zero_first_frame_scale: bool = True  # launch scripts pass the flag
 
     def __len__(self) -> int:
         return len(self.validation_prompts)
@@ -78,7 +84,8 @@ class ValRealEstate10KPoseFolded:
     def __getitem__(self, idx: int) -> dict:
         n = self.sample_n_frames
         c2w, K, intr = load_pair_cameras(
-            self.pose_file_0, self.pose_file_1, self.sample_size, n_frames=n
+            self.pose_file_0, self.pose_file_1, self.sample_size, n_frames=n,
+            zero_first_frame_scale=self.zero_first_frame_scale,
         )
         assert len(c2w) == 2 * n - 1
 

@@ -11,7 +11,7 @@ keeps both, matching the reference.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -84,3 +84,36 @@ def relative_poses(c2w_list: np.ndarray, tar_idx: int = 0) -> np.ndarray:
     c2w_list = np.asarray(c2w_list)
     abs2rel = np.linalg.inv(c2w_list[tar_idx])
     return (abs2rel[None] @ c2w_list).astype(np.float32)
+
+
+def get_relative_pose(
+    c2w_list: np.ndarray, zero_first_frame_scale: bool,
+    w2c_list: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """CameraCtrl-style relative normalization (inference_epi_advanced.py:55-72).
+
+    The first camera is re-based to a canonical pose sitting
+    ``cam_to_origin`` below the origin along -y, where ``cam_to_origin`` is
+    the first camera's distance from the world origin — or 0 when
+    ``zero_first_frame_scale`` is set, which collapses to the plain
+    identity-first normalization (``relative_poses``). The released launch
+    scripts always pass the flag (run_inference_simple.sh:25).
+    """
+    c2w_list = np.asarray(c2w_list, np.float64)
+    if w2c_list is None:
+        w2c_list = np.linalg.inv(c2w_list)
+    source_c2w = c2w_list[0]
+    cam_to_origin = 0.0 if zero_first_frame_scale else float(
+        np.linalg.norm(source_c2w[:3, 3])
+    )
+    target_cam_c2w = np.array([
+        [1, 0, 0, 0],
+        [0, 1, 0, -cam_to_origin],
+        [0, 0, 1, 0],
+        [0, 0, 0, 1],
+    ], np.float64)
+    abs2rel = target_cam_c2w @ w2c_list[0]
+    ret = np.concatenate(
+        [target_cam_c2w[None], abs2rel[None] @ c2w_list[1:]], axis=0
+    )
+    return ret.astype(np.float32)

@@ -98,6 +98,7 @@ def merge_torch_state(
     key_filter: Optional[Callable[[str], bool]] = None,
     rename: Optional[Callable[[str], str]] = None,
     strict: bool = True,
+    dry_run: bool = False,
 ) -> Tuple[Dict, List[str]]:
     """Write torch weights into a Flax params dict (pure 'params' subtree).
 
@@ -107,6 +108,8 @@ def merge_torch_state(
       key_filter: only consume torch keys it accepts.
       rename: pre-translation torch-key rewrite (e.g. VAE legacy attn names).
       strict: raise if any accepted torch key fails to land.
+      dry_run: validate key routing + shapes only, never write (params
+        leaves may be ShapeDtypeStructs; used by manifest validation).
     Returns (new params, list of consumed torch keys).
     """
     has_wrapper = "params" in params and isinstance(params["params"], dict)
@@ -146,12 +149,25 @@ def merge_torch_state(
                 if cand in flat:
                     tv = _transform(tkey, value, leaf if leaf != "__direct__" else "")
                     if flat[cand].shape != tv.shape:
-                        errors.append(
-                            f"{tkey}: shape {tv.shape} vs param {cand} {flat[cand].shape}"
-                        )
-                        placed = True
-                        break
-                    flat[cand] = jnp.asarray(tv, dtype=flat[cand].dtype)
+                        # legacy 1x1-conv projections stored where the model
+                        # uses a linear (LDM VAE attention q/k/v/proj_out;
+                        # the reference converter reshapes these too,
+                        # convert_from_ckpt.py:196-210)
+                        if (
+                            tv.ndim == 4 and tv.shape[:2] == (1, 1)
+                            and len(flat[cand].shape) == 2
+                            and tv.shape[2:] == tuple(flat[cand].shape)
+                        ):
+                            tv = tv.reshape(tv.shape[2:])
+                        else:
+                            errors.append(
+                                f"{tkey}: shape {tv.shape} vs param {cand} "
+                                f"{flat[cand].shape}"
+                            )
+                            placed = True
+                            break
+                    if not dry_run:
+                        flat[cand] = jnp.asarray(tv, dtype=flat[cand].dtype)
                     consumed.append(tkey)
                     placed = True
                     break

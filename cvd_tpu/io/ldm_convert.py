@@ -125,7 +125,12 @@ def convert_ldm_vae_state(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]
                 out[f"{parts[0]}.mid_block.resnets.0.{rest}"] = v
             elif parts[2] == "block_2":
                 out[f"{parts[0]}.mid_block.resnets.1.{rest}"] = v
-            else:  # attn_1 (legacy q/k/v/proj_out/norm names)
+            else:  # attn_1 (legacy q/k/v/norm names; importer renames them)
+                # CompVis calls the out-projection 'proj_out'; route it to
+                # the diffusers-legacy 'proj_attn' that vae_legacy_rename
+                # already maps to to_out.0 (convert_from_ckpt.py:142-143)
+                if rest.startswith("proj_out."):
+                    rest = "proj_attn." + rest[len("proj_out."):]
                 out[f"{parts[0]}.mid_block.attentions.0.{rest}"] = v
         elif parts[1] == "down":
             i = int(parts[2])

@@ -144,6 +144,13 @@ class EpiSelfAttention(nn.Module):
         bias = None
         kv_index = None
         if cond is not None:
+            if cond.mono_direction:
+                # the reference rejects this path too ("kv_index may have
+                # bug here. Not supported", attention_processor.py:622)
+                raise NotImplementedError(
+                    "mono_direction is not supported (reference parity: "
+                    "attention_processor.py:622 raises as well)"
+                )
             kv_index = cond.kv_index
             # Fresh slope per attention call, like the reference (each
             # get_attn_map call draws its own torch.rand). Flax folds the

@@ -102,14 +102,6 @@ def _lora_rank(cfg: UNetConfig, channels: int) -> int:
     return 0
 
 
-class _LayerStack(nn.Module):
-    """One down/up/mid 'layer' = resnet + optional (spatial attn, motion, epi).
-
-    Exists as shared logic, not a named module — blocks instantiate the
-    submodules themselves to keep reference-like parameter paths.
-    """
-
-
 class CrossAttnDownBlock(nn.Module):
     out_channels: int
     num_layers: int

@@ -22,17 +22,12 @@ def attention_with_bias(
     k: jnp.ndarray,
     v: jnp.ndarray,
     bias: Optional[jnp.ndarray] = None,
-    use_flash: bool = False,
 ) -> jnp.ndarray:
     """q, k, v: [B, heads, L, D]; bias: [B, Lq, Lk] or [B, heads, Lq, Lk].
 
     Softmax is computed in f32 regardless of input dtype (matches torch SDPA
     behavior closely enough at bf16 activations).
     """
-    if use_flash:
-        from cvd_tpu.ops.epi_flash import flash_attention_with_bias
-
-        return flash_attention_with_bias(q, k, v, bias)
     scale = 1.0 / math.sqrt(q.shape[-1])
     # exact f32 multiplies for f32 activations; bf16 keeps the fast MXU path
     precision = "highest" if q.dtype == jnp.float32 else None

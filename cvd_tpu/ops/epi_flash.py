@@ -466,11 +466,3 @@ def flash_supported(Lq: int, Lk: int, C: int, heads: int) -> bool:
         and C % heads == 0 and (C // heads) % 8 == 0
     )
 
-
-def flash_attention_with_bias(q, k, v, bias):
-    """Generic-bias entry used by ops.attention dispatch — the epi module
-    calls epi_flash_attention directly with factored geometry; a
-    materialized-bias flash path is not implemented."""
-    raise NotImplementedError(
-        "use epi_flash_attention with factored (lines, band, alpha) inputs"
-    )

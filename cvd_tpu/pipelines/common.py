@@ -116,6 +116,64 @@ class PipelineModules:
         )
 
 
+def abstract_param_shapes(
+    unet_config: Optional[UNetConfig] = None,
+    vae_config: Optional[VAEConfig] = None,
+    clip_config: Optional[CLIPTextConfig] = None,
+    pose_encoder_kwargs: Optional[dict] = None,
+    latent_size: int = 32,
+    video_length: int = 16,
+):
+    """Full-size parameter SHAPE trees via jax.eval_shape — no allocation,
+    no compile. Drives checkpoint-manifest validation (io.manifests)."""
+    from cvd_tpu.models.epi import EpiConditioning
+
+    unet_config = unet_config or UNetConfig()
+    vae_config = vae_config or VAEConfig()
+    clip_config = clip_config or CLIPTextConfig()
+    pose_encoder_kwargs = dict(pose_encoder_kwargs or {})
+    pose_encoder_kwargs.setdefault("dtype", unet_config.dtype)
+
+    unet = UNet3DConditionModel(unet_config)
+    vae = AutoencoderKL(vae_config)
+    clip = CLIPTextEncoder(clip_config)
+    pose_encoder = CameraPoseEncoder(
+        channels=unet_config.block_out_channels, **pose_encoder_kwargs
+    )
+    B, F, s = 2, video_length, latent_size
+    ch = unet_config.block_out_channels
+    f32 = jnp.float32
+    S = jax.ShapeDtypeStruct
+    key = jax.random.key(0)
+
+    unet_shapes = jax.eval_shape(
+        lambda k, sample, t, text, pose, cond: unet.init(k, sample, t, text,
+                                                         pose, cond),
+        key,
+        S((B, F, s, s, 4), f32),
+        S((B,), jnp.int32),
+        S((B, 77, unet_config.cross_attention_dim), f32),
+        [S((B, F, s // 2**i, s // 2**i, ch[i]), f32) for i in range(4)],
+        EpiConditioning(F_mats=S((B * F, 3, 3), f32), video_length=F,
+                        rand_slope_ff=False),
+    )
+    vae_shapes = jax.eval_shape(
+        lambda k, x, n: vae.init(k, x, n),
+        key, S((1, 8 * s, 8 * s, 3), f32), key,
+    )
+    clip_shapes = jax.eval_shape(
+        lambda k, ids: clip.init(k, ids), key, S((1, 77), jnp.int32)
+    )
+    pose_shapes = jax.eval_shape(
+        lambda k, p: pose_encoder.init(k, p),
+        key, S((1, F, 8 * s, 8 * s, 6), f32),
+    )
+    return {
+        "unet": unet_shapes, "vae": vae_shapes, "clip": clip_shapes,
+        "pose": pose_shapes,
+    }
+
+
 def encode_prompt(
     modules: PipelineModules,
     clip_params: Dict,

@@ -68,7 +68,14 @@ def train_step(
 
     text = m.clip.apply(frozen_params["clip"], batch["text_ids"])
 
-    pose_feats = m.pose_encoder.apply(frozen_params["pose"], batch["plucker"])
+    if "plucker" in batch:
+        pose_feats = m.pose_encoder.apply(frozen_params["pose"], batch["plucker"])
+        lora_scale = 1.0
+    else:
+        # unposed (WebVid-style) batch: no camera conditioning, and the
+        # image LoRA is disabled for it (train_epi_control.py:580-581)
+        pose_feats = None
+        lora_scale = 0.0
 
     F_mats = batch.get("F_mats")
     H_mats = batch.get("H_mats")
@@ -100,6 +107,7 @@ def train_step(
     def loss_fn(params):
         pred, extras = unet.apply(
             params, noisy, timesteps, text, pose_feats, epi_cond,
+            lora_scale=lora_scale,
             rngs={"epi_slope": slope_key},
         )
         loss = masked_mse_loss(

@@ -25,3 +25,11 @@ enable_compilation_cache()
 assert jax.device_count() == 8, (
     f"tests expect an 8-device virtual CPU mesh, got {jax.devices()}"
 )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: compile-heavy end-to-end tests (pipelines/CLIs/train); "
+        'deselect with -m "not slow" for the fast gate',
+    )

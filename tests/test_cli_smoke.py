@@ -11,6 +11,8 @@ import numpy as np
 import pytest
 
 
+pytestmark = pytest.mark.slow
+
 def _write_pose_file(path, n=30, reverse=False):
     """Minimal RealEstate10K-format pose file (reference
     assets/pose_files/*.txt: URL header, then per-frame
@@ -71,6 +73,112 @@ def test_inference_advanced_cli_smoke(tmp_path):
     assert (sub / "transforms.json").exists()
     meta = json.loads((sub / "transforms.json").read_text())
     assert len(meta["frames"]) == 2 * 2  # V * F
+
+
+def _write_webvid_root(root, n_clips=4, n_frames=4, size=72):
+    """Synthetic WebVid-style root: videos/<clip>/<i>.png + captions.json."""
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    captions = {}
+    for c in range(n_clips):
+        clip = f"web{c}"
+        d = root / "videos" / clip
+        os.makedirs(d)
+        for i in range(n_frames):
+            arr = (rng.random((size, size, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / f"{i:04d}.png")
+        captions[clip] = f"webvid caption {c}"
+    (root / "captions.json").write_text(json.dumps(captions))
+
+
+def _train_cfg(out_dir, train_data, steps=2):
+    return {
+        "output_dir": str(out_dir),
+        "random_weights": True,
+        "sample_size": 64,
+        "sample_n_frames": 2,
+        "train_data": train_data,
+        "train_batch_size": 4,
+        "num_workers": 0,
+        "learning_rate": 1e-4,
+        "max_train_steps": steps,
+        "checkpointing_steps": steps,
+        "logger_interval": 1,
+        "global_seed": 7,
+    }
+
+
+def test_train_cli_webvid_smoke(tmp_path):
+    """Unposed (WebVid) training end-to-end: homography pseudo-pairs,
+    H_mats + warped_masks reach the jitted step, image LoRA off
+    (train_epi_control.py:79-84, 532-545, 580-581)."""
+    import yaml
+
+    from cvd_tpu.cli.train import build_parser, main
+
+    root = tmp_path / "webvid"
+    _write_webvid_root(root)
+    out_dir = tmp_path / "run"
+    cfg = _train_cfg(out_dir, {"dataset_name": "webvid10m",
+                               "root_path": str(root)})
+    cfg_path = tmp_path / "cfg.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+    main(build_parser().parse_args(["--config", str(cfg_path)]))
+
+    assert (out_dir / "checkpoints" / "checkpoint-step-2.ckpt").exists()
+    # sanity dumps from the TRAINING batch (train_epi_control.py:503-510)
+    sanity = out_dir / "sanity_check"
+    assert any(p.suffix == ".gif" for p in sanity.iterdir())
+    assert (sanity / "epi_overlay.png").exists()
+    metrics = [json.loads(l) for l in
+               (out_dir / "metrics.jsonl").read_text().splitlines()]
+    assert all(np.isfinite(m["loss"]) for m in metrics)
+
+
+def test_train_cli_hybrid_smoke(tmp_path):
+    """Hybrid posed+unposed training: kind-homogeneous batches alternate
+    between the RealEstate10K and WebVid sources (train_epi_control.py:85-89)."""
+    import yaml
+    from PIL import Image
+
+    from cvd_tpu.cli.train import build_parser, main
+
+    re_root = tmp_path / "re10k"
+    os.makedirs(re_root / "RealEstate10K" / "train")
+    os.makedirs(re_root / "annotation_json")
+    captions = {}
+    rng = np.random.default_rng(0)
+    for c in range(4):
+        clip = f"clip{c}"
+        _write_pose_file(re_root / "RealEstate10K" / "train" / f"{clip}.txt", n=9)
+        frame_dir = re_root / "dataset" / "train" / clip
+        os.makedirs(frame_dir)
+        for i in range(9):
+            arr = (rng.random((72, 72, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(frame_dir / f"{i * 1000}.png")
+        captions[clip + ".mp4"] = [f"caption for {clip}"]
+    json.dump(captions,
+              open(re_root / "annotation_json" / "train_captions.json", "w"))
+    wv_root = tmp_path / "webvid"
+    _write_webvid_root(wv_root)
+
+    out_dir = tmp_path / "run"
+    cfg = _train_cfg(out_dir, {
+        "dataset_name": "hybrid",
+        "posed_ratio": 0.5,
+        "realestate10k": {"root_path": str(re_root), "sample_stride": 1},
+        "webvid10m": {"root_path": str(wv_root)},
+    }, steps=4)
+    cfg_path = tmp_path / "cfg.yaml"
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+    main(build_parser().parse_args(["--config", str(cfg_path)]))
+
+    assert (out_dir / "checkpoints" / "checkpoint-step-4.ckpt").exists()
+    metrics = [json.loads(l) for l in
+               (out_dir / "metrics.jsonl").read_text().splitlines()]
+    assert len(metrics) == 4
+    assert all(np.isfinite(m["loss"]) for m in metrics)
 
 
 def test_train_cli_smoke(tmp_path):

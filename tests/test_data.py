@@ -114,3 +114,78 @@ def test_loader_batching_and_sharding(fake_root):
     assert sorted(list(i0) + list(i1)) == list(range(10))
     # deterministic per epoch
     np.testing.assert_array_equal(i0, shard_indices(10, 0, 0, 0, 2))
+
+
+def _smooth_frames(n, h=36, w=64):
+    """Codec-friendly smooth gradients (lossy mp4 stays close to source)."""
+    ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+    out = []
+    for i in range(n):
+        r = (xs / w * 255)
+        g = (ys / h * 255)
+        b = np.full_like(r, i * 20.0)
+        out.append(np.stack([r, g, b], -1).astype(np.uint8))
+    return out
+
+
+@pytest.fixture(scope="module")
+def mp4_root(tmp_path_factory):
+    """Root with mp4 clips instead of extracted pngs."""
+    import cv2
+
+    root = tmp_path_factory.mktemp("re10k_mp4")
+    os.makedirs(root / "RealEstate10K" / "train")
+    os.makedirs(root / "dataset" / "train")
+    os.makedirs(root / "annotation_json")
+    captions = {}
+    for c, clip in enumerate(["vidA", "vidB"]):
+        write_pose_file(root / "RealEstate10K" / "train" / f"{clip}.txt", 9, seed=c)
+        vw = cv2.VideoWriter(
+            str(root / "dataset" / "train" / f"{clip}.mp4"),
+            cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 36),
+        )
+        assert vw.isOpened(), "cv2 mp4 writer unavailable"
+        for f in _smooth_frames(9):
+            vw.write(f[..., ::-1])  # RGB -> BGR
+        vw.release()
+        captions[f"{clip}.mp4"] = [f"a tour of {clip}"]
+    json.dump(captions, open(root / "annotation_json" / "train_captions.json", "w"))
+    return str(root)
+
+
+def test_mp4_ingestion_and_extraction(mp4_root):
+    """The dataset reads mp4 clips directly (reference decord parity,
+    dataset_train_realestate10k.py:386-460); extract_frames produces the
+    png layout and both paths agree up to codec noise."""
+    from cvd_tpu.data.extract_frames import main as extract_main
+    import sys
+    from unittest import mock
+
+    ds_mp4 = RealEstate10KPoseFolded(
+        root_path=mp4_root, sample_stride=1, sample_n_frames=2,
+        sample_size=32, seed=0,
+    )
+    assert len(ds_mp4) == 2
+    item_mp4 = ds_mp4[0]
+    assert item_mp4["pixel_values"].shape == (4, 32, 32, 3)
+    assert np.isfinite(item_mp4["pixel_values"]).all()
+
+    with mock.patch.object(sys, "argv",
+                           ["extract_frames", "--root", mp4_root]):
+        extract_main()
+    # pngs now exist named by pose cids; the png path takes precedence
+    assert os.path.exists(
+        os.path.join(mp4_root, "dataset", "train", "vidA", "100.png")
+    )
+    ds_png = RealEstate10KPoseFolded(
+        root_path=mp4_root, sample_stride=1, sample_n_frames=2,
+        sample_size=32, seed=0,
+    )
+    item_png = ds_png[0]
+    # identical frame selection (same seed) -> same pixels up to codec noise
+    assert (
+        np.abs(item_png["pixel_values"] - item_mp4["pixel_values"]).mean()
+        < 0.08
+    )
+    np.testing.assert_allclose(item_png["F_mats"], item_mp4["F_mats"],
+                               atol=1e-6)

@@ -116,3 +116,56 @@ def test_eval_parity_cli(tmp_path):
                       "--test", str(tmp_path / "same"), "--json"]) == 0
     assert eval_main(["--ref", str(tmp_path / "ref"),
                       "--test", str(tmp_path / "noisy"), "--json"]) == 1
+
+
+def test_mono_direction_raises_like_reference():
+    """The reference rejects mono_direction (attention_processor.py:622);
+    the flag must fail loudly here too, not silently no-op."""
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from cvd_tpu.models.epi import EpiConditioning, EpiTransformer
+
+    mod = EpiTransformer(in_channels=32, heads=4, num_transformer_blocks=1,
+                         num_attention_blocks=1)
+    x = jnp.zeros((2, 2, 4, 4, 32))
+    cond = EpiConditioning(
+        F_mats=jnp.zeros((4, 3, 3)), video_length=2, rand_slope_ff=False,
+        mono_direction=True, use_flash_kernel=False,
+    )
+    with _pytest.raises(NotImplementedError):
+        mod.init(jax.random.key(0), x, cond)
+
+
+def test_non_square_resolution_rejected_upfront():
+    """Non-square sizes fail with a clean message naming the epi
+    constraint, not a mid-compile assert (VERDICT r1, Weak #6)."""
+    import pytest as _pytest
+
+    from cvd_tpu.cli.inference import build_parser, main
+
+    args = build_parser().parse_args([
+        "--random-weights", "--caption_file", "x.json",
+        "--pose_file_0", "a", "--pose_file_1", "b",
+        "--image_height", "256", "--image_width", "384",
+        "--out_root", "/tmp/nowhere",
+    ])
+    with _pytest.raises(SystemExit, match="square"):
+        main(args)
+
+    from cvd_tpu.cli.inference_advanced import build_parser as bp2, main as main2
+
+    args2 = bp2().parse_args([
+        "--random-weights", "--caption_file", "x.txt",
+        "--image_height", "256", "--image_width", "384",
+        "--out_root", "/tmp/nowhere",
+    ])
+    with _pytest.raises(SystemExit, match="square"):
+        main2(args2)
+    args3 = bp2().parse_args([
+        "--random-weights", "--caption_file", "x.txt", "--view_num", "3",
+        "--out_root", "/tmp/nowhere",
+    ])
+    with _pytest.raises(SystemExit, match="even"):
+        main2(args3)

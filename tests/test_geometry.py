@@ -240,3 +240,51 @@ def test_camera_parsing():
     # fx = W * rescale * fx_norm ; rescale = 256/720
     np.testing.assert_allclose(K[0, 0], 1280 * (256 / 720) * 0.5)
     np.testing.assert_allclose(K[1, 2], (720 * 0.5 - 0) * (256 / 720))
+
+
+def test_get_relative_pose_flag_semantics():
+    """inference_epi_advanced.py:55-72: zero_first_frame_scale=True collapses
+    to identity-first normalization; False keeps the first camera's distance
+    from the origin (canonical pose at (0, -||t0||, 0))."""
+    from cvd_tpu.geometry.cameras import get_relative_pose, relative_poses
+
+    rng = np.random.default_rng(3)
+    c2w = np.tile(np.eye(4), (4, 1, 1))
+    # random small rotations + translations, non-identity first pose
+    for i in range(4):
+        a = rng.normal(0, 0.1)
+        c2w[i, :3, :3] = [[np.cos(a), -np.sin(a), 0],
+                          [np.sin(a), np.cos(a), 0], [0, 0, 1]]
+        c2w[i, :3, 3] = rng.normal(0, 1.0, 3)
+    zeroed = get_relative_pose(c2w, True)
+    np.testing.assert_allclose(zeroed, relative_poses(c2w, 0), atol=1e-5)
+    kept = get_relative_pose(c2w, False)
+    d = np.linalg.norm(c2w[0, :3, 3])
+    np.testing.assert_allclose(kept[0, :3, 3], [0, -d, 0], atol=1e-6)
+    # relative transforms between consecutive cameras are preserved
+    for i in range(3):
+        rel_abs = np.linalg.inv(c2w[i]) @ c2w[i + 1]
+        rel_new = np.linalg.inv(kept[i]) @ kept[i + 1]
+        np.testing.assert_allclose(rel_new, rel_abs, atol=1e-6)
+
+
+def test_zero_first_frame_scale_threads_into_validation(tmp_path):
+    """The flag changes the loaded validation poses (no longer a no-op)."""
+    from cvd_tpu.data.validation import load_pair_cameras
+
+    def write(path, seed):
+        rng2 = np.random.default_rng(seed)
+        with open(path, "w") as f:
+            f.write("url\n")
+            for i in range(4):
+                w2c = np.eye(4)[:3].copy()
+                w2c[:3, 3] = rng2.normal(0, 1, 3) + [0, 0, 2]
+                vals = [i, 0.6, 0.8, 0.5, 0.5, 0, 0] + list(w2c.reshape(-1))
+                f.write(" ".join(str(v) for v in vals) + "\n")
+
+    p0, p1 = tmp_path / "a.txt", tmp_path / "b.txt"
+    write(p0, 0)
+    write(p1, 1)
+    c2w_zero, _, _ = load_pair_cameras(str(p0), str(p1), 64, 4, True)
+    c2w_keep, _, _ = load_pair_cameras(str(p0), str(p1), 64, 4, False)
+    assert not np.allclose(c2w_zero, c2w_keep)

@@ -12,6 +12,8 @@ from cvd_tpu.pipelines.simple import SimplePipeline
 
 from tiny import tiny_modules
 
+pytestmark = pytest.mark.slow
+
 F_FRAMES = 2
 IMG = 64  # latent 8
 

@@ -13,6 +13,8 @@ from cvd_tpu.train.train_step import make_jitted_train_step, train_step
 
 from tiny import tiny_modules
 
+pytestmark = pytest.mark.slow
+
 F_FRAMES = 2
 IMG = 64
 
@@ -85,6 +87,55 @@ def test_train_step_data_parallel_mesh(modules):
     np.testing.assert_allclose(
         float(metrics["loss"]), float(metrics2["loss"]), rtol=1e-4
     )
+
+
+def make_unposed_batch(B=2, seed=0, mask_value=None):
+    """WebVid-style batch: H_mats + warped_masks, no plucker/F_mats
+    (train_epi_control.py:532-545)."""
+    rng = np.random.default_rng(seed)
+    H = np.tile(np.eye(3, dtype=np.float32), (B, F_FRAMES, 1, 1))
+    H[..., 0, 2] = rng.standard_normal((B, F_FRAMES)) * 3
+    masks = (
+        np.full((B, F_FRAMES, 8, 8, 1), mask_value, np.float32)
+        if mask_value is not None
+        else (rng.random((B, F_FRAMES, 8, 8, 1)) > 0.3).astype(np.float32)
+    )
+    return {
+        "latents": jnp.asarray(rng.standard_normal((B, F_FRAMES, 8, 8, 4)), jnp.float32),
+        "text_ids": jnp.asarray(rng.integers(0, 49408, (B, 77)), jnp.int32),
+        "H_mats": jnp.asarray(H),
+        "warped_masks": jnp.asarray(masks),
+    }
+
+
+def test_train_step_unposed_batch(modules):
+    """Pose-free batches train through the H_mats pseudo-epipolar path with
+    zero pose conditioning and image-LoRA scale 0 (train_epi_control.py:580)."""
+    state = create_train_state(modules.unet_params, learning_rate=1e-3)
+    before = traverse_util.flatten_dict(state.params["params"])
+    before = {k: np.asarray(v).copy() for k, v in before.items()}
+    new_state, metrics = jax.jit(
+        lambda s, b, k: train_step(s, b, modules, k), donate_argnums=()
+    )(state, make_unposed_batch(), jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["loss"]) > 0
+    after = traverse_util.flatten_dict(new_state.params["params"])
+    changed = {k for k in after if not np.allclose(before[k], np.asarray(after[k]))}
+    assert changed and all("epi_modules" in "/".join(k) for k in changed)
+
+
+def test_train_step_unposed_mask_reaches_loss(modules):
+    """warped_masks actually gate the MSE: an all-zero mask zeroes the loss
+    (no epi aux term at additional_channel=0)."""
+    state = create_train_state(modules.unet_params, learning_rate=1e-3)
+    _, metrics = jax.jit(
+        lambda s, b, k: train_step(s, b, modules, k), donate_argnums=()
+    )(state, make_unposed_batch(mask_value=0.0), jax.random.key(0))
+    assert float(metrics["loss"]) == 0.0
+    _, metrics_full = jax.jit(
+        lambda s, b, k: train_step(s, b, modules, k), donate_argnums=()
+    )(state, make_unposed_batch(mask_value=1.0), jax.random.key(0))
+    assert float(metrics_full["loss"]) > 0
 
 
 def test_masked_mse():
