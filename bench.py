@@ -168,19 +168,31 @@ def main():
     denoise_s = time.time() - t0
 
     videos_per_min = V / e2e_s * 60.0
+    step_s = denoise_s / args.steps
     result = {
         "metric": "videos_per_min_per_chip",
         "value": round(videos_per_min, 3),
         "unit": "videos/min",
         "vs_baseline": round(videos_per_min / 6.0, 3),
         "e2e_seconds_2view": round(e2e_s, 3),
-        "unet_step_ms": round(denoise_s / args.steps * 1000.0, 2),
+        "unet_step_ms": round(step_s * 1000.0, 2),
         "decode_seconds": round(e2e_s - denoise_s, 3),
         "compile_seconds": round(compile_s, 1),
         "init_seconds": round(init_s, 1),
         "config": f"{V}view-{F}f-{IMG}px-{args.steps}steps-"
                   f"{'f32' if args.f32 else 'bf16'}{'-tiny' if args.tiny else ''}",
     }
+    if not args.tiny:
+        # achieved TFLOP/s + MFU of the denoise step (HLO-exact FLOP count
+        # from utils.flops, CPU-subprocess cached; v5e bf16 peak 197 TF/s)
+        from cvd_tpu.utils.flops import V5E_PEAK_BF16_FLOPS, cached_unet_flops
+
+        flops = cached_unet_flops(2 * V, args.frames, args.size // 8,
+                                  bf16=not args.f32)
+        if flops:
+            result["unet_step_tflops"] = round(flops / 1e12, 2)
+            result["achieved_tflops_per_s"] = round(flops / step_s / 1e12, 1)
+            result["mfu"] = round(flops / step_s / V5E_PEAK_BF16_FLOPS, 3)
     print(json.dumps(result))
 
 

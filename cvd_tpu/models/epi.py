@@ -135,8 +135,12 @@ class EpiSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, cond: Optional[EpiConditioning]
+        self, x: jnp.ndarray, cond: Optional[EpiConditioning], pre_ln=None
     ) -> Tuple[jnp.ndarray, dict]:
+        """pre_ln: optional (scale, bias) of the preceding LayerNorm — then
+        ``x`` is UNNORMALIZED and the norm folds into the q/k/v projections.
+        Valid because LN is per-token, so it commutes with the partner-row
+        gather (LN(x)[route] == LN(x[route]))."""
         B, N, C = x.shape
         feat_size = int(round(N**0.5))
         assert feat_size * feat_size == N, "epi attention requires square grids"
@@ -170,10 +174,20 @@ class EpiSelfAttention(nn.Module):
 
         inner = C
         head_dim = C // self.heads
-        to_q = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")
-        to_k = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")
-        to_v = nn.Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")
-        q_tok = to_q(x)
+        from cvd_tpu.models.layers import ProjKernel, fused_matmul
+        from cvd_tpu.ops.ln_matmul import layer_norm_matmul
+
+        wq = ProjKernel(C, inner, name="to_q")()
+        wk = ProjKernel(C, inner, name="to_k")()
+        wv = ProjKernel(C, inner, name="to_v")()
+
+        def project(tokens, kernels):
+            if pre_ln is not None:
+                return layer_norm_matmul(
+                    tokens.astype(self.dtype), pre_ln[0], pre_ln[1],
+                    list(kernels), [None] * len(kernels),
+                )
+            return fused_matmul(tokens, kernels, self.dtype)
 
         multi_group = (
             cond is not None
@@ -213,7 +227,8 @@ class EpiSelfAttention(nn.Module):
                 ).astype(jnp.int32)
             else:
                 route = kv_index.astype(jnp.int32)
-            k_tok, v_tok = to_k(x), to_v(x)
+            # q/k/v of the SOURCE rows in one fused matmul (x read once)
+            q_tok, k_tok, v_tok = project(x, (wq, wk, wv))
             coords = pixel_grid_coords(feat_size, cond.F_mat_size)
             coords_xy = coords[:, :2].T  # [2, N] key pixel x/y rows
             norm_lines, band, alpha = lines_and_band(
@@ -235,8 +250,9 @@ class EpiSelfAttention(nn.Module):
             # inference pays nothing; training uses the last epi layer only)
             k_tok = k_tok[route]
         else:
+            (q_tok,) = project(x, (wq,))
             enc = gather_partner_tokens(x, kv_index)
-            k_tok, v_tok = to_k(enc), to_v(enc)
+            k_tok, v_tok = project(enc, (wk, wv))
             q = q_tok.reshape(B, -1, self.heads, head_dim).transpose(0, 2, 1, 3)
             k = k_tok.reshape(B, -1, self.heads, head_dim).transpose(0, 2, 1, 3)
             v = v_tok.reshape(B, -1, self.heads, head_dim).transpose(0, 2, 1, 3)
@@ -253,7 +269,7 @@ class EpiSelfAttention(nn.Module):
         if cond is not None and cond.fix_firstframe:
             # average first-frame V across views, broadcast back
             # (attention_processor.py:629-635); token layout [B, N, C]
-            v_self = to_v(x)
+            v_self = v_tok if use_kernel else project(x, (wv,))[0]
             f = cond.video_length
             t = cond.cfg_factor
             views = B // (t * f)
@@ -279,16 +295,19 @@ class EpiTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, cond: Optional[EpiConditioning]):
+        from cvd_tpu.models.layers import LayerNormParams
+
         aux = []
         for i in range(self.num_attention_blocks):
-            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norms_{i}")(x)
+            # LN folds into the attention's q/k/v projections
+            ln = LayerNormParams(self.dim, name=f"norms_{i}")()
             res, qk = EpiSelfAttention(
                 self.dim, self.heads, dtype=self.dtype, name=f"attention_blocks_{i}"
-            )(h, cond)
+            )(x, cond, pre_ln=ln)
             x = x + res
             aux.append(qk)
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ff_norm")(x)
-        x = FeedForward(self.dim, dtype=self.dtype, name="ff")(h) + x
+        ln = LayerNormParams(self.dim, name="ff_norm")()
+        x = FeedForward(self.dim, dtype=self.dtype, name="ff")(x, pre_ln=ln) + x
         return x, aux
 
 

@@ -106,9 +106,14 @@ class TemporalSelfAttention(nn.Module):
             x = merge(x + pose_feature.astype(x.dtype)) * self.pose_scale + x
 
         head_dim = C // self.heads
-        q = nn.Dense(C, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        k = nn.Dense(C, use_bias=False, dtype=self.dtype, name="to_k")(x)
-        v = nn.Dense(C, use_bias=False, dtype=self.dtype, name="to_v")(x)
+        from cvd_tpu.models.layers import ProjKernel, fused_matmul
+
+        q, k, v = fused_matmul(
+            x,
+            (ProjKernel(C, C, name="to_q")(), ProjKernel(C, C, name="to_k")(),
+             ProjKernel(C, C, name="to_v")()),
+            self.dtype,
+        )
 
         from cvd_tpu.models import layers as _layers
         from cvd_tpu.ops.temporal_attn import (
@@ -191,8 +196,10 @@ class TemporalTransformerBlock(nn.Module):
                 )(h, pose_feature)
                 + x
             )
-        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ff_norm")(x)
-        x = FeedForward(self.dim, dtype=self.dtype, name="ff")(h) + x
+        from cvd_tpu.models.layers import LayerNormParams
+
+        ln = LayerNormParams(self.dim, name="ff_norm")()
+        x = FeedForward(self.dim, dtype=self.dtype, name="ff")(x, pre_ln=ln) + x
         return x
 
 

@@ -85,6 +85,7 @@ def test_key_translation_examples():
         assert flax_path_to_torch_key(flax_path + ("kernel",)) == torch_key
 
 
+@pytest.mark.slow
 def test_unet_roundtrip_full_coverage(tiny_unet_params):
     params = randomize(tiny_unet_params, 1)
     torch_state = export_torch_state(params)
@@ -98,6 +99,7 @@ def test_unet_roundtrip_full_coverage(tiny_unet_params):
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=str(k))
 
 
+@pytest.mark.slow
 def test_partial_load_motion_only(tiny_unet_params):
     # a motion-module-only ckpt (like AnimateDiff's) loads without touching
     # other params, and bad keys raise

@@ -1,5 +1,6 @@
 """Model-config translation + PoseAdaptor wrapper."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -19,6 +20,7 @@ def test_reference_config_roundtrip():
     assert extra["epi_F_mat_size"] == 256
 
 
+@pytest.mark.slow
 def test_pose_adaptor_wrapper():
     import sys
 

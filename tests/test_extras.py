@@ -1,5 +1,6 @@
 """SparseControlNet + DDIM inversion + misc utils."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -17,6 +18,7 @@ TINY = UNetConfig(
 )
 
 
+@pytest.mark.slow
 def test_sparse_controlnet_residual_shapes_and_zero_init():
     model = SparseControlNetModel(TINY, use_motion_modules=True)
     B, F, h = 1, 2, 16

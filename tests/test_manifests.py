@@ -17,6 +17,8 @@ real files, that:
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from cvd_tpu.io import manifests as M
 from cvd_tpu.io.key_mapping import SKIP_SUBSTRINGS, merge_torch_state, vae_legacy_rename
 

@@ -160,6 +160,7 @@ def tiny_unet():
     return model, params, (sample, t, text, pose, cond)
 
 
+@pytest.mark.slow
 def test_unet_forward_shapes_and_aux(tiny_unet):
     model, params, (sample, t, text, pose, cond) = tiny_unet
     out, extras = model.apply(params, sample, t, text, pose, cond)
@@ -170,6 +171,7 @@ def test_unet_forward_shapes_and_aux(tiny_unet):
     assert extras["auxiliary"] is None
 
 
+@pytest.mark.slow
 def test_unet_jit_compiles_and_is_deterministic(tiny_unet):
     model, params, (sample, t, text, pose, cond) = tiny_unet
     rng = np.random.default_rng(5)
