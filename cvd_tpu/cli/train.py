@@ -152,11 +152,31 @@ def main(args):
             seed=seed,
         )
 
-    if dataset_name in ("realestate10k", "realestate10k_local",
-                        "realestate10k_remote"):
+    def make_re10k_remote(c):
+        from cvd_tpu.data.remote import RealEstate10KPoseFoldedRemote
+
+        return RealEstate10KPoseFoldedRemote(
+            base_url=c["base_url"], cache_dir=c.get("cache_dir"),
+            sample_stride=c.get("sample_stride", 2),
+            sample_n_frames=n_frames, sample_size=sample_size, seed=seed,
+        )
+
+    def make_webvid_remote(c):
+        from cvd_tpu.data.remote import WebVid10MRemote
+
+        return WebVid10MRemote(
+            base_url=c["base_url"], cache_dir=c.get("cache_dir"),
+            sample_n_frames=n_frames, sample_size=sample_size, seed=seed,
+        )
+
+    if dataset_name in ("realestate10k", "realestate10k_local"):
         sources = [("posed", make_re10k(train_cfg), 1.0)]
-    elif dataset_name in ("webvid10m", "webvid10m_remote"):
+    elif dataset_name == "realestate10k_remote":
+        sources = [("posed", make_re10k_remote(train_cfg), 1.0)]
+    elif dataset_name == "webvid10m":
         sources = [("unposed", make_webvid(train_cfg), 1.0)]
+    elif dataset_name == "webvid10m_remote":
+        sources = [("unposed", make_webvid_remote(train_cfg), 1.0)]
     elif dataset_name == "hybrid":
         ratio = float(train_cfg.get("posed_ratio", 0.5))
         sources = [

@@ -189,3 +189,47 @@ def test_mp4_ingestion_and_extraction(mp4_root):
     )
     np.testing.assert_allclose(item_png["F_mats"], item_mp4["F_mats"],
                                atol=1e-6)
+
+
+def test_remote_datasets_stream_via_file_urls(mp4_root, tmp_path):
+    """Remote variants (train_epi_control.py:79-89 contract): per-clip
+    artifacts stream from a base URL into a local cache, then the local
+    dataset logic serves items."""
+    from cvd_tpu.data.remote import RealEstate10KPoseFoldedRemote, WebVid10MRemote
+
+    # index file the remote reader needs
+    with open(os.path.join(mp4_root, "RealEstate10K", "train", "index.txt"),
+              "w") as f:
+        f.write("vidA\nvidB\n")
+    base = "file://" + mp4_root
+    ds = RealEstate10KPoseFoldedRemote(
+        base_url=base, cache_dir=str(tmp_path / "cache"),
+        sample_stride=1, sample_n_frames=2, sample_size=32, seed=0,
+    )
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["pixel_values"].shape == (4, 32, 32, 3)
+    assert item["F_mats"].shape == (4, 3, 3)
+    # second access reuses the cache (no re-download path issues)
+    item2 = ds[1]
+    assert np.isfinite(item2["pixel_values"]).all()
+
+    # webvid remote over a synthetic root
+    wroot = tmp_path / "webvid_src"
+    from PIL import Image
+
+    os.makedirs(wroot / "videos" / "w0")
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        Image.fromarray((rng.random((40, 40, 3)) * 255).astype(np.uint8)
+                        ).save(wroot / "videos" / "w0" / f"{i:04d}.png")
+    (wroot / "captions.json").write_text(json.dumps({"w0": "a caption"}))
+    (wroot / "index.txt").write_text("w0 4\n")
+    wds = WebVid10MRemote(
+        base_url="file://" + str(wroot), cache_dir=str(tmp_path / "wcache"),
+        sample_n_frames=2, sample_size=32, seed=0,
+    )
+    witem = wds[0]
+    assert witem["pixel_values"].shape == (4, 32, 32, 3)
+    assert witem["H_mats"].shape == (4, 3, 3)
+    assert witem["warped_masks"].shape == (4, 4, 4, 1)
