@@ -126,7 +126,7 @@ class SparseControlNetModel(nn.Module):
                 if self.use_motion_modules:
                     x = TemporalTransformer(
                         ch[i], heads, 1, cfg.motion_num_attention_blocks,
-                        cfg.motion_pe_max_len, (), 1.0, cfg.norm_num_groups,
+                        cfg.motion_pe_max_len, (), 1.0, cfg.motion_norm_groups,
                         zero_initialize=False, dtype=cfg.dtype,
                         name=f"down_blocks_{i}_motion_modules_{j}",
                     )(x, None)

@@ -54,6 +54,12 @@ class UNetConfig:
     motion_num_attention_blocks: int = 2
     motion_pe_max_len: int = 32
     motion_zero_initialize: bool = False
+    # the reference's motion/epi transformers take their GroupNorm group
+    # count from motion_module_kwargs/epi_module_kwargs (default 32,
+    # motion_module.py:262, epi_module.py:101), NOT from the UNet's
+    # norm_num_groups — so they stay at 32 even when the UNet norm differs
+    motion_norm_groups: int = 32
+    epi_norm_groups: int = 32
     # pose conditioning (configs/inference_config.yaml:48-56)
     pose_cond_attn_indices: Tuple[int, ...] = (0,)
     pose_scale: float = 1.0
@@ -139,14 +145,14 @@ class CrossAttnDownBlock(nn.Module):
                     self.out_channels, cfg.attention_heads,
                     cfg.motion_num_transformer_blocks, cfg.motion_num_attention_blocks,
                     cfg.motion_pe_max_len, cfg.pose_cond_attn_indices, cfg.pose_scale,
-                    cfg.norm_num_groups, cfg.motion_zero_initialize,
+                    cfg.motion_norm_groups, cfg.motion_zero_initialize,
                     dtype=cfg.dtype, name=f"motion_modules_{j}",
                 )(x, pose_feature)
             if self.use_epi:
                 x, a = EpiTransformer(
                     self.out_channels, cfg.attention_heads,
                     cfg.epi_num_transformer_blocks, cfg.epi_num_attention_blocks,
-                    cfg.norm_num_groups, cfg.epi_zero_initialize,
+                    cfg.epi_norm_groups, cfg.epi_zero_initialize,
                     dtype=cfg.dtype, name=f"epi_modules_{j}",
                 )(x, epi_cond)
                 aux += a
@@ -183,14 +189,14 @@ class DownBlock(nn.Module):
                     self.out_channels, cfg.attention_heads,
                     cfg.motion_num_transformer_blocks, cfg.motion_num_attention_blocks,
                     cfg.motion_pe_max_len, cfg.pose_cond_attn_indices, cfg.pose_scale,
-                    cfg.norm_num_groups, cfg.motion_zero_initialize,
+                    cfg.motion_norm_groups, cfg.motion_zero_initialize,
                     dtype=cfg.dtype, name=f"motion_modules_{j}",
                 )(x, pose_feature)
             if self.use_epi:
                 x, a = EpiTransformer(
                     self.out_channels, cfg.attention_heads,
                     cfg.epi_num_transformer_blocks, cfg.epi_num_attention_blocks,
-                    cfg.norm_num_groups, cfg.epi_zero_initialize,
+                    cfg.epi_norm_groups, cfg.epi_zero_initialize,
                     dtype=cfg.dtype, name=f"epi_modules_{j}",
                 )(x, epi_cond)
                 aux += a
@@ -233,14 +239,14 @@ class MidBlock(nn.Module):
                 self.channels, cfg.attention_heads,
                 cfg.motion_num_transformer_blocks, cfg.motion_num_attention_blocks,
                 cfg.motion_pe_max_len, cfg.pose_cond_attn_indices, cfg.pose_scale,
-                cfg.norm_num_groups, cfg.motion_zero_initialize,
+                cfg.motion_norm_groups, cfg.motion_zero_initialize,
                 dtype=cfg.dtype, name="motion_modules_0",
             )(x, pose_feature)
         if self.use_epi:
             x, a = EpiTransformer(
                 self.channels, cfg.attention_heads,
                 cfg.epi_num_transformer_blocks, cfg.epi_num_attention_blocks,
-                cfg.norm_num_groups, cfg.epi_zero_initialize,
+                cfg.epi_norm_groups, cfg.epi_zero_initialize,
                 dtype=cfg.dtype, name="epi_modules_0",
             )(x, epi_cond)
             aux += a
@@ -292,14 +298,14 @@ class CrossAttnUpBlock(nn.Module):
                     self.out_channels, cfg.attention_heads,
                     cfg.motion_num_transformer_blocks, cfg.motion_num_attention_blocks,
                     cfg.motion_pe_max_len, cfg.pose_cond_attn_indices, cfg.pose_scale,
-                    cfg.norm_num_groups, cfg.motion_zero_initialize,
+                    cfg.motion_norm_groups, cfg.motion_zero_initialize,
                     dtype=cfg.dtype, name=f"motion_modules_{j}",
                 )(x, pose_feature)
             if self.use_epi:
                 x, a = EpiTransformer(
                     self.out_channels, cfg.attention_heads,
                     cfg.epi_num_transformer_blocks, cfg.epi_num_attention_blocks,
-                    cfg.norm_num_groups, cfg.epi_zero_initialize,
+                    cfg.epi_norm_groups, cfg.epi_zero_initialize,
                     dtype=cfg.dtype, name=f"epi_modules_{j}",
                 )(x, epi_cond)
                 aux += a

@@ -278,3 +278,59 @@ class Downsample2D(nn.Module):
 
     def forward(self, x):
         return self.conv(x)
+
+
+class Upsample2D(nn.Module):
+    """nearest x2 (optional forced output size) + 3x3 conv, attr ``conv``
+    (diffusers/models/resnet.py Upsample2D with use_conv=True)."""
+
+    def __init__(self, channels, use_conv=True, out_channels=None):
+        super().__init__()
+        assert use_conv
+        self.conv = nn.Conv2d(channels, out_channels or channels, 3, padding=1)
+
+    def forward(self, x, output_size=None):
+        if output_size is None:
+            x = F.interpolate(x, scale_factor=2.0, mode="nearest")
+        else:
+            x = F.interpolate(x, size=output_size, mode="nearest")
+        return self.conv(x)
+
+
+class Timesteps(nn.Module):
+    """diffusers get_timestep_embedding with the SD1.5 UNet construction
+    (unet.py:122: flip_sin_to_cos=True, downscale_freq_shift=0)."""
+
+    def __init__(self, num_channels, flip_sin_to_cos=True,
+                 downscale_freq_shift=0.0):
+        super().__init__()
+        self.num_channels = num_channels
+        self.flip_sin_to_cos = flip_sin_to_cos
+        self.downscale_freq_shift = downscale_freq_shift
+
+    def forward(self, timesteps):
+        half_dim = self.num_channels // 2
+        exponent = -math.log(10000.0) * torch.arange(
+            half_dim, dtype=torch.float32, device=timesteps.device
+        )
+        exponent = exponent / (half_dim - self.downscale_freq_shift)
+        emb = timesteps.float()[:, None] * torch.exp(exponent)[None, :]
+        sin, cos = torch.sin(emb), torch.cos(emb)
+        emb = (torch.cat([cos, sin], dim=-1) if self.flip_sin_to_cos
+               else torch.cat([sin, cos], dim=-1))
+        if self.num_channels % 2 == 1:
+            emb = F.pad(emb, (0, 1, 0, 0))
+        return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """linear_1 -> silu -> linear_2 (diffusers/models/embeddings.py)."""
+
+    def __init__(self, in_channels, time_embed_dim):
+        super().__init__()
+        self.linear_1 = nn.Linear(in_channels, time_embed_dim)
+        self.act = nn.SiLU()
+        self.linear_2 = nn.Linear(time_embed_dim, time_embed_dim)
+
+    def forward(self, sample):
+        return self.linear_2(self.act(self.linear_1(sample)))

@@ -26,7 +26,10 @@ from .diffusers_min import (
     FeedForward,
     LoRALinearLayer,
     ResnetBlock2D,
+    Timesteps,
+    TimestepEmbedding,
     Transformer2DModel,
+    Upsample2D,
 )
 
 
@@ -1000,3 +1003,533 @@ class CrossAttnDownBlock3D(nn.Module):
                                           f=video_length)
             output_states += (hidden_states,)
         return hidden_states, output_states, additional_outputs
+
+
+class DownBlock3D(nn.Module):
+    """unet_blocks.py:491-621 — per layer: ResnetBlock2D (per frame) ->
+    motion module -> epi module (no spatial attention), optional
+    downsample."""
+
+    def __init__(self, in_channels, out_channels, temb_channels,
+                 num_layers=1, resnet_eps=1e-6, resnet_groups=32,
+                 add_downsample=True, use_motion_module=True,
+                 motion_module_kwargs=None, use_epi_module=True,
+                 epi_module_kwargs=None):
+        super().__init__()
+        resnets, motion_modules, epi_modules = [], [], []
+        for i in range(num_layers):
+            in_ch = in_channels if i == 0 else out_channels
+            resnets.append(ResnetBlock2D(
+                in_channels=in_ch, out_channels=out_channels,
+                temb_channels=temb_channels, eps=resnet_eps,
+                groups=resnet_groups,
+            ))
+            motion_modules.append(
+                VanillaTemporalModule(in_channels=out_channels,
+                                      **(motion_module_kwargs or {}))
+                if use_motion_module else None
+            )
+            epi_modules.append(
+                EpiModule(in_channels=out_channels, **(epi_module_kwargs or {}))
+                if use_epi_module else None
+            )
+        self.resnets = nn.ModuleList(resnets)
+        self.motion_modules = nn.ModuleList(motion_modules)
+        self.epi_modules = nn.ModuleList(epi_modules)
+        self.downsamplers = (
+            nn.ModuleList([Downsample2D(out_channels, use_conv=True,
+                                        out_channels=out_channels, padding=1,
+                                        name="op")])
+            if add_downsample else None
+        )
+
+    def forward(self, hidden_states, F_mats=None, H_mats=None, temb=None,
+                encoder_hidden_states=None,
+                motion_cross_attention_kwargs=None, **kwargs):
+        video_length = hidden_states.shape[2]
+        temb_repeated = repeat(temb, "b c -> (b f) c", f=video_length)
+        output_states = ()
+        additional_outputs = []
+        for resnet, motion_module, epi_module in zip(
+                self.resnets, self.motion_modules, self.epi_modules):
+            hidden_states = rearrange(hidden_states, "b c f h w -> (b f) c h w")
+            hidden_states = resnet(hidden_states, temb_repeated)
+            hidden_states = rearrange(hidden_states, "(b f) c h w -> b c f h w",
+                                      f=video_length)
+            if motion_module is not None:
+                hidden_states = motion_module(
+                    hidden_states, temb=temb,
+                    encoder_hidden_states=encoder_hidden_states,
+                    cross_attention_kwargs=motion_cross_attention_kwargs,
+                )
+            if epi_module is not None:
+                hidden_states, aux = epi_module(
+                    hidden_states, F_mats, H_mats, temb=temb,
+                    encoder_hidden_states=encoder_hidden_states,
+                    cross_attention_kwargs=motion_cross_attention_kwargs,
+                )
+                additional_outputs += aux
+            output_states += (hidden_states,)
+
+        if self.downsamplers is not None:
+            for downsampler in self.downsamplers:
+                hidden_states = rearrange(hidden_states,
+                                          "b c f h w -> (b f) c h w")
+                hidden_states = downsampler(hidden_states)
+                hidden_states = rearrange(hidden_states,
+                                          "(b f) c h w -> b c f h w",
+                                          f=video_length)
+            output_states += (hidden_states,)
+        return hidden_states, output_states, additional_outputs
+
+
+class UNetMidBlock3DCrossAttn(nn.Module):
+    """unet_blocks.py:164-305 — resnet, then per layer: spatial transformer
+    -> motion -> epi -> resnet."""
+
+    def __init__(self, in_channels, temb_channels, num_layers=1,
+                 resnet_eps=1e-6, resnet_groups=32, attn_num_head_channels=1,
+                 cross_attention_dim=1280, use_motion_module=False,
+                 motion_module_kwargs=None, use_epi_module=False,
+                 epi_module_kwargs=None):
+        super().__init__()
+        self.has_cross_attention = True
+        resnets = [ResnetBlock2D(
+            in_channels=in_channels, out_channels=in_channels,
+            temb_channels=temb_channels, eps=resnet_eps, groups=resnet_groups,
+        )]
+        attentions, motion_modules, epi_modules = [], [], []
+        for _ in range(num_layers):
+            attentions.append(Transformer2DModel(
+                attn_num_head_channels,
+                in_channels // attn_num_head_channels,
+                in_channels=in_channels, num_layers=1,
+                cross_attention_dim=cross_attention_dim,
+                norm_num_groups=resnet_groups,
+            ))
+            motion_modules.append(
+                VanillaTemporalModule(in_channels=in_channels,
+                                      **(motion_module_kwargs or {}))
+                if use_motion_module else None
+            )
+            epi_modules.append(
+                EpiModule(in_channels=in_channels, **(epi_module_kwargs or {}))
+                if use_epi_module else None
+            )
+            resnets.append(ResnetBlock2D(
+                in_channels=in_channels, out_channels=in_channels,
+                temb_channels=temb_channels, eps=resnet_eps,
+                groups=resnet_groups,
+            ))
+        self.attentions = nn.ModuleList(attentions)
+        self.resnets = nn.ModuleList(resnets)
+        self.motion_modules = nn.ModuleList(motion_modules)
+        self.epi_modules = nn.ModuleList(epi_modules)
+
+    def forward(self, hidden_states, F_mats=None, H_mats=None, temb=None,
+                encoder_hidden_states=None, cross_attention_kwargs=None,
+                motion_cross_attention_kwargs=None, **kwargs):
+        video_length = hidden_states.shape[2]
+        temb_repeated = repeat(temb, "b c -> (b f) c", f=video_length)
+
+        hidden_states = rearrange(hidden_states, "b c f h w -> (b f) c h w")
+        hidden_states = self.resnets[0](hidden_states, temb_repeated)
+        hidden_states = rearrange(hidden_states, "(b f) c h w -> b c f h w",
+                                  f=video_length)
+
+        additional_outputs = []
+        for attn, resnet, motion_module, epi_module in zip(
+                self.attentions, self.resnets[1:], self.motion_modules,
+                self.epi_modules):
+            hidden_states = rearrange(hidden_states, "b c f h w -> (b f) c h w")
+            hidden_states = attn(
+                hidden_states, encoder_hidden_states=encoder_hidden_states,
+                cross_attention_kwargs=cross_attention_kwargs,
+            ).sample
+            hidden_states = rearrange(hidden_states, "(b f) c h w -> b c f h w",
+                                      f=video_length)
+            if motion_module is not None:
+                hidden_states = motion_module(
+                    hidden_states, temb=temb,
+                    encoder_hidden_states=encoder_hidden_states,
+                    cross_attention_kwargs=motion_cross_attention_kwargs,
+                )
+            if epi_module is not None:
+                hidden_states, aux = epi_module(
+                    hidden_states, F_mats, H_mats, temb=temb,
+                    encoder_hidden_states=encoder_hidden_states,
+                    cross_attention_kwargs=motion_cross_attention_kwargs,
+                )
+                additional_outputs += aux
+            hidden_states = rearrange(hidden_states, "b c f h w -> (b f) c h w")
+            hidden_states = resnet(hidden_states, temb_repeated)
+            hidden_states = rearrange(hidden_states, "(b f) c h w -> b c f h w",
+                                      f=video_length)
+        return hidden_states, additional_outputs
+
+
+class CrossAttnUpBlock3D(nn.Module):
+    """unet_blocks.py:624-809 — per layer: concat(skip) -> resnet -> spatial
+    transformer -> motion -> epi, then upsample."""
+
+    def __init__(self, in_channels, out_channels, prev_output_channel,
+                 temb_channels, num_layers=1, resnet_eps=1e-6,
+                 resnet_groups=32, attn_num_head_channels=1,
+                 cross_attention_dim=1280, add_upsample=True,
+                 use_motion_module=True, motion_module_kwargs=None,
+                 use_epi_module=True, epi_module_kwargs=None):
+        super().__init__()
+        self.has_cross_attention = True
+        resnets, attentions, motion_modules, epi_modules = [], [], [], []
+        for i in range(num_layers):
+            res_skip_channels = (in_channels if (i == num_layers - 1)
+                                 else out_channels)
+            resnet_in_channels = (prev_output_channel if i == 0
+                                  else out_channels)
+            resnets.append(ResnetBlock2D(
+                in_channels=resnet_in_channels + res_skip_channels,
+                out_channels=out_channels, temb_channels=temb_channels,
+                eps=resnet_eps, groups=resnet_groups,
+            ))
+            attentions.append(Transformer2DModel(
+                attn_num_head_channels,
+                out_channels // attn_num_head_channels,
+                in_channels=out_channels, num_layers=1,
+                cross_attention_dim=cross_attention_dim,
+                norm_num_groups=resnet_groups,
+            ))
+            motion_modules.append(
+                VanillaTemporalModule(in_channels=out_channels,
+                                      **(motion_module_kwargs or {}))
+                if use_motion_module else None
+            )
+            epi_modules.append(
+                EpiModule(in_channels=out_channels, **(epi_module_kwargs or {}))
+                if use_epi_module else None
+            )
+        self.attentions = nn.ModuleList(attentions)
+        self.resnets = nn.ModuleList(resnets)
+        self.motion_modules = nn.ModuleList(motion_modules)
+        self.epi_modules = nn.ModuleList(epi_modules)
+        self.upsamplers = (
+            nn.ModuleList([Upsample2D(out_channels, use_conv=True,
+                                      out_channels=out_channels)])
+            if add_upsample else None
+        )
+
+    def forward(self, hidden_states, res_hidden_states_tuple, F_mats=None,
+                H_mats=None, temb=None, encoder_hidden_states=None,
+                upsample_size=None, cross_attention_kwargs=None,
+                motion_cross_attention_kwargs=None, **kwargs):
+        video_length = hidden_states.shape[2]
+        temb_repeated = repeat(temb, "b c -> (b f) c", f=video_length)
+        additional_outputs = []
+        for resnet, attn, motion_module, epi_module in zip(
+                self.resnets, self.attentions, self.motion_modules,
+                self.epi_modules):
+            res_hidden_states = res_hidden_states_tuple[-1]
+            res_hidden_states_tuple = res_hidden_states_tuple[:-1]
+            hidden_states = torch.cat([hidden_states, res_hidden_states], dim=1)
+
+            hidden_states = rearrange(hidden_states, "b c f h w -> (b f) c h w")
+            hidden_states = resnet(hidden_states, temb_repeated)
+            hidden_states = attn(
+                hidden_states, encoder_hidden_states=encoder_hidden_states,
+                cross_attention_kwargs=cross_attention_kwargs,
+            ).sample
+            hidden_states = rearrange(hidden_states, "(b f) c h w -> b c f h w",
+                                      f=video_length)
+            if motion_module is not None:
+                hidden_states = motion_module(
+                    hidden_states, temb=temb,
+                    encoder_hidden_states=encoder_hidden_states,
+                    cross_attention_kwargs=motion_cross_attention_kwargs,
+                )
+            if epi_module is not None:
+                hidden_states, aux = epi_module(
+                    hidden_states, F_mats, H_mats, temb=temb,
+                    encoder_hidden_states=encoder_hidden_states,
+                    cross_attention_kwargs=motion_cross_attention_kwargs,
+                )
+                additional_outputs += aux
+
+        if self.upsamplers is not None:
+            for upsampler in self.upsamplers:
+                hidden_states = rearrange(hidden_states,
+                                          "b c f h w -> (b f) c h w")
+                hidden_states = upsampler(hidden_states, upsample_size)
+                hidden_states = rearrange(hidden_states,
+                                          "(b f) c h w -> b c f h w",
+                                          f=video_length)
+        return hidden_states, additional_outputs
+
+
+class UpBlock3D(nn.Module):
+    """unet_blocks.py:812-939 — per layer: concat(skip) -> resnet -> motion
+    -> epi (no spatial attention), then upsample."""
+
+    def __init__(self, in_channels, prev_output_channel, out_channels,
+                 temb_channels, num_layers=1, resnet_eps=1e-6,
+                 resnet_groups=32, add_upsample=True, use_motion_module=True,
+                 motion_module_kwargs=None, use_epi_module=True,
+                 epi_module_kwargs=None):
+        super().__init__()
+        resnets, motion_modules, epi_modules = [], [], []
+        for i in range(num_layers):
+            res_skip_channels = (in_channels if (i == num_layers - 1)
+                                 else out_channels)
+            resnet_in_channels = (prev_output_channel if i == 0
+                                  else out_channels)
+            resnets.append(ResnetBlock2D(
+                in_channels=resnet_in_channels + res_skip_channels,
+                out_channels=out_channels, temb_channels=temb_channels,
+                eps=resnet_eps, groups=resnet_groups,
+            ))
+            motion_modules.append(
+                VanillaTemporalModule(in_channels=out_channels,
+                                      **(motion_module_kwargs or {}))
+                if use_motion_module else None
+            )
+            epi_modules.append(
+                EpiModule(in_channels=out_channels, **(epi_module_kwargs or {}))
+                if use_epi_module else None
+            )
+        self.resnets = nn.ModuleList(resnets)
+        self.motion_modules = nn.ModuleList(motion_modules)
+        self.epi_modules = nn.ModuleList(epi_modules)
+        self.upsamplers = (
+            nn.ModuleList([Upsample2D(out_channels, use_conv=True,
+                                      out_channels=out_channels)])
+            if add_upsample else None
+        )
+
+    def forward(self, hidden_states, res_hidden_states_tuple, F_mats=None,
+                H_mats=None, temb=None, upsample_size=None,
+                encoder_hidden_states=None,
+                motion_cross_attention_kwargs=None, **kwargs):
+        video_length = hidden_states.shape[2]
+        temb_repeated = repeat(temb, "b c -> (b f) c", f=video_length)
+        additional_outputs = []
+        for resnet, motion_module, epi_module in zip(
+                self.resnets, self.motion_modules, self.epi_modules):
+            res_hidden_states = res_hidden_states_tuple[-1]
+            res_hidden_states_tuple = res_hidden_states_tuple[:-1]
+            hidden_states = torch.cat([hidden_states, res_hidden_states], dim=1)
+
+            hidden_states = rearrange(hidden_states, "b c f h w -> (b f) c h w")
+            hidden_states = resnet(hidden_states, temb_repeated)
+            hidden_states = rearrange(hidden_states, "(b f) c h w -> b c f h w",
+                                      f=video_length)
+            if motion_module is not None:
+                hidden_states = motion_module(
+                    hidden_states, temb=temb,
+                    encoder_hidden_states=encoder_hidden_states,
+                    cross_attention_kwargs=motion_cross_attention_kwargs,
+                )
+            if epi_module is not None:
+                hidden_states, aux = epi_module(
+                    hidden_states, F_mats, H_mats, temb=temb,
+                    encoder_hidden_states=encoder_hidden_states,
+                    cross_attention_kwargs=motion_cross_attention_kwargs,
+                )
+                additional_outputs += aux
+
+        if self.upsamplers is not None:
+            for upsampler in self.upsamplers:
+                hidden_states = rearrange(hidden_states,
+                                          "b c f h w -> (b f) c h w")
+                hidden_states = upsampler(hidden_states, upsample_size)
+                hidden_states = rearrange(hidden_states,
+                                          "(b f) c h w -> b c f h w",
+                                          f=video_length)
+        return hidden_states, additional_outputs
+
+
+class UNet3DConditionModelPoseCond(nn.Module):
+    """The full reference UNet (unet.py:917-1452) at inference defaults:
+    SD1.5 block plan (CrossAttnDownBlock3D x3 + DownBlock3D down; UpBlock3D
+    + CrossAttnUpBlock3D x3 up), fusers off, controlnet residuals off,
+    class embedding off, decoder_add_posecond=True. Covers conv_in, time
+    embedding (Timesteps flip_sin_to_cos=True freq_shift=0 ->
+    TimestepEmbedding, unet.py:122-125), per-resolution pose-feature
+    routing, skip-connection plumbing, frame-wise conv_norm_out
+    (unet.py:1422-1424) and the additional_channel auxiliary head
+    (unet.py:1429-1445)."""
+
+    def __init__(self, in_channels=4, out_channels=4,
+                 block_out_channels=(320, 640, 1280, 1280),
+                 layers_per_block=2, norm_num_groups=32, norm_eps=1e-5,
+                 resnet_eps=1e-6, attn_num_head_channels=8,
+                 cross_attention_dim=768, additional_channel=0,
+                 use_motion_module=True, motion_module_kwargs=None,
+                 motion_module_mid_block=False,
+                 use_epi_module=True, epi_module_kwargs=None,
+                 epi_module_mid_block=False):
+        super().__init__()
+        ch = block_out_channels
+        time_embed_dim = ch[0] * 4
+        self.time_proj = Timesteps(ch[0], flip_sin_to_cos=True,
+                                   downscale_freq_shift=0.0)
+        self.time_embedding = TimestepEmbedding(ch[0], time_embed_dim)
+        self.conv_in = InflatedConv3d(in_channels, ch[0], kernel_size=3,
+                                      padding=1)
+
+        common = dict(temb_channels=time_embed_dim, resnet_eps=resnet_eps,
+                      resnet_groups=norm_num_groups,
+                      use_motion_module=use_motion_module,
+                      motion_module_kwargs=motion_module_kwargs,
+                      use_epi_module=use_epi_module,
+                      epi_module_kwargs=epi_module_kwargs)
+        down_blocks = []
+        output_channel = ch[0]
+        for i in range(len(ch)):
+            input_channel = output_channel
+            output_channel = ch[i]
+            is_final = i == len(ch) - 1
+            if not is_final:
+                down_blocks.append(CrossAttnDownBlock3D(
+                    in_channels=input_channel, out_channels=output_channel,
+                    num_layers=layers_per_block,
+                    attn_num_head_channels=attn_num_head_channels,
+                    cross_attention_dim=cross_attention_dim,
+                    add_downsample=True,
+                    temb_channels=time_embed_dim, resnet_groups=norm_num_groups,
+                    motion_module_kwargs=motion_module_kwargs,
+                    use_motion_module=use_motion_module,
+                    use_epi_module=use_epi_module,
+                    epi_module_kwargs=epi_module_kwargs,
+                ))
+            else:
+                down_blocks.append(DownBlock3D(
+                    in_channels=input_channel, out_channels=output_channel,
+                    num_layers=layers_per_block, add_downsample=False,
+                    **common,
+                ))
+        self.down_blocks = nn.ModuleList(down_blocks)
+
+        self.mid_block = UNetMidBlock3DCrossAttn(
+            in_channels=ch[-1], temb_channels=time_embed_dim,
+            num_layers=1, resnet_eps=resnet_eps,
+            resnet_groups=norm_num_groups,
+            attn_num_head_channels=attn_num_head_channels,
+            cross_attention_dim=cross_attention_dim,
+            use_motion_module=use_motion_module and motion_module_mid_block,
+            motion_module_kwargs=motion_module_kwargs,
+            use_epi_module=use_epi_module and epi_module_mid_block,
+            epi_module_kwargs=epi_module_kwargs,
+        )
+
+        up_blocks = []
+        rev = list(reversed(ch))
+        output_channel = rev[0]
+        for i in range(len(ch)):
+            prev_output_channel = output_channel
+            output_channel = rev[i]
+            input_channel = rev[min(i + 1, len(ch) - 1)]
+            is_final = i == len(ch) - 1
+            if i == 0:
+                up_blocks.append(UpBlock3D(
+                    in_channels=input_channel,
+                    prev_output_channel=prev_output_channel,
+                    out_channels=output_channel,
+                    num_layers=layers_per_block + 1,
+                    add_upsample=not is_final, **common,
+                ))
+            else:
+                up_blocks.append(CrossAttnUpBlock3D(
+                    in_channels=input_channel, out_channels=output_channel,
+                    prev_output_channel=prev_output_channel,
+                    num_layers=layers_per_block + 1,
+                    attn_num_head_channels=attn_num_head_channels,
+                    cross_attention_dim=cross_attention_dim,
+                    add_upsample=not is_final,
+                    temb_channels=time_embed_dim, resnet_groups=norm_num_groups,
+                    motion_module_kwargs=motion_module_kwargs,
+                    use_motion_module=use_motion_module,
+                    use_epi_module=use_epi_module,
+                    epi_module_kwargs=epi_module_kwargs,
+                ))
+        self.up_blocks = nn.ModuleList(up_blocks)
+
+        self.conv_norm_out = nn.GroupNorm(num_channels=ch[0],
+                                          num_groups=norm_num_groups,
+                                          eps=norm_eps)
+        self.conv_act = nn.SiLU()
+        self.conv_out = InflatedConv3d(ch[0], out_channels, kernel_size=3,
+                                       padding=1)
+        self.additional_channel = additional_channel
+        if additional_channel > 0:
+            self.conv_auxiliary_query = InflatedConv3d(
+                ch[0], additional_channel, kernel_size=1)
+            self.conv_auxiliary_key = InflatedConv3d(
+                ch[0], additional_channel, kernel_size=1)
+
+    def forward(self, sample, timestep, encoder_hidden_states, F_mats=None,
+                H_mats=None, pose_embedding_features=None):
+        video_length = sample.shape[2]
+        timesteps = timestep.expand(sample.shape[0])
+        t_emb = self.time_proj(timesteps)
+        emb = self.time_embedding(t_emb)
+
+        encoder_hidden_states = repeat(encoder_hidden_states,
+                                       "b n c -> (b f) n c", f=video_length)
+        sample = self.conv_in(sample)
+
+        if pose_embedding_features is None:
+            pose_embedding_features = [None] * len(self.down_blocks)
+
+        down_block_res_samples = (sample,)
+        additional_outputs = []
+        for downsample_block, pose_feature in zip(self.down_blocks,
+                                                  pose_embedding_features):
+            sample, res_samples, aux = downsample_block(
+                hidden_states=sample, F_mats=F_mats, H_mats=H_mats, temb=emb,
+                encoder_hidden_states=encoder_hidden_states,
+                cross_attention_kwargs={"pose_feature": pose_feature},
+                motion_cross_attention_kwargs={"pose_feature": pose_feature},
+            )
+            down_block_res_samples += res_samples
+            additional_outputs += aux
+
+        sample, aux = self.mid_block(
+            sample, F_mats, H_mats, emb,
+            encoder_hidden_states=encoder_hidden_states,
+            cross_attention_kwargs={"pose_feature": pose_embedding_features[-1]},
+            motion_cross_attention_kwargs={
+                "pose_feature": pose_embedding_features[-1]},
+        )
+        additional_outputs += aux
+
+        for i, upsample_block in enumerate(self.up_blocks):
+            pose_feature = pose_embedding_features[-(i + 1)]
+            res_samples = down_block_res_samples[-len(upsample_block.resnets):]
+            down_block_res_samples = down_block_res_samples[
+                : -len(upsample_block.resnets)]
+            sample, aux = upsample_block(
+                hidden_states=sample, res_hidden_states_tuple=res_samples,
+                F_mats=F_mats, H_mats=H_mats, temb=emb,
+                encoder_hidden_states=encoder_hidden_states,
+                cross_attention_kwargs={"pose_feature": pose_feature},
+                motion_cross_attention_kwargs={"pose_feature": pose_feature},
+            )
+            additional_outputs += aux
+
+        sample = rearrange(sample, "b c f h w -> (b f) c h w")
+        sample = self.conv_norm_out(sample)
+        sample = rearrange(sample, "(b f) c h w -> b c f h w", f=video_length)
+        sample = self.conv_act(sample)
+        sample_out = self.conv_out(sample)
+
+        if self.additional_channel > 0:
+            last_query = additional_outputs[-1]["query"]
+            last_key = additional_outputs[-1]["key"]
+            feat_size = int(last_query.shape[1] ** 0.5)
+            last_query = rearrange(last_query, "(b f) (h w) c -> b c f h w",
+                                   f=video_length, h=feat_size, w=feat_size)
+            last_key = rearrange(last_key, "(b f) (h w) c -> b c f h w",
+                                 f=video_length, h=feat_size, w=feat_size)
+            auxiliary = torch.cat([self.conv_auxiliary_query(last_query),
+                                   self.conv_auxiliary_key(last_key)], dim=1)
+        else:
+            auxiliary = None
+        return sample_out, auxiliary, additional_outputs

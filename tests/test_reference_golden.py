@@ -471,3 +471,152 @@ def test_cross_attn_down_block_golden(extended):
     assert len(got_aux) == len(want_aux) == 4
     for i, (g, w) in enumerate(zip(got_aux, want_aux)):
         allclose(g["query"], w["query"].numpy(), f"block aux query {i}")
+
+
+# ------------------------------------------------------ the full UNet
+
+def randomize_scaled_(module: torch.nn.Module, seed: int):
+    """fan-in-scaled random weights: keeps activations O(1) through the
+    full-depth UNet so f32 parity comparisons stay meaningful (uniform-std
+    init explodes ~3.6x per 3x3x64 conv over ~20 convs)."""
+    g = torch.Generator().manual_seed(seed)
+    for p in module.parameters():
+        if p.ndim >= 2:
+            fan_in = p.shape[1]
+            if p.ndim == 4:
+                fan_in *= p.shape[2] * p.shape[3]
+            std = float(fan_in) ** -0.5
+        else:
+            std = 0.1
+        p.data.normal_(0.0, std, generator=g)
+    module.eval()
+
+
+def _set_all_unet_processors(oracle):
+    """Mirrors set_all_attn_processor for the released config
+    (unet.py:985-1143): spatial -> plain AttnProcessor, temporal block '0'
+    -> PoseAdaptorAttnProcessor (query+kv condition), every epi ->
+    EpiAttnProcessor."""
+    from reference_oracle.diffusers_min import Transformer2DModel as T2D
+
+    for m in oracle.modules():
+        if isinstance(m, ref.VanillaTemporalModule):
+            blocks = m.temporal_transformer.transformer_blocks[0].attention_blocks
+            C = blocks[0].to_q.in_features
+            blocks[0].processor = ref.PoseAdaptorAttnProcessor(
+                hidden_size=C, pose_feature_dim=C, query_condition=True,
+                key_value_condition=True, scale=1.0,
+            )
+            blocks[1].processor = ref.AttnProcessor("temporal")
+        elif isinstance(m, ref.EpiModule):
+            for blk in m.epi_transformer.transformer_blocks:
+                for ab in blk.attention_blocks:
+                    ab.processor = ref.EpiAttnProcessor(
+                        hidden_size=ab.to_q.in_features)
+        elif isinstance(m, T2D):
+            for blk in m.transformer_blocks:
+                blk.attn1.processor = ref.AttnProcessor("spatial")
+                blk.attn2.processor = ref.AttnProcessor("spatial")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mid_modules", [False, True])
+def test_full_unet_golden(mid_modules):
+    """The COMPLETE UNet3DConditionModelPoseCond forward (unet.py:917-1452)
+    vs models.unet.UNet3DConditionModel at imported random weights: time
+    embedding, conv_in, all down/mid/up blocks with per-resolution pose
+    features and epi conditioning, skip plumbing, frame-wise conv_norm_out,
+    conv_out, and the additional_channel auxiliary head. mid_modules=False
+    is the released config (no motion/epi in the mid block);
+    mid_modules=True covers the mid-block module wiring."""
+    from cvd_tpu.models.epi import EpiConditioning
+    from cvd_tpu.models.unet import UNet3DConditionModel, UNetConfig
+
+    B, Fw, S, HEADS, CROSS, L = 2, 16, 16, 4, 24, 77
+    CH = (32, 32, 64, 64)
+    GROUPS = 8
+    mm_kwargs = dict(
+        num_attention_heads=HEADS, num_transformer_block=1,
+        attention_block_types=("Temporal_Self", "Temporal_Self"),
+        temporal_position_encoding=True,
+        temporal_position_encoding_max_len=32, zero_initialize=False,
+    )
+    epi_kwargs = dict(
+        num_attention_heads=HEADS, num_transformer_block=1,
+        attention_block_types=("Epi_Self", "Epi_Self"),
+        epi_position_encoding=True, epi_position_encoding_feat_max_size=64,
+        epi_position_encoding_F_mat_size=256, epi_rand_slope_ff=False,
+        zero_initialize=False,
+    )
+    oracle = ref.UNet3DConditionModelPoseCond(
+        block_out_channels=CH, layers_per_block=1, norm_num_groups=GROUPS,
+        attn_num_head_channels=HEADS, cross_attention_dim=CROSS,
+        additional_channel=2, motion_module_kwargs=mm_kwargs,
+        motion_module_mid_block=mid_modules, epi_module_kwargs=epi_kwargs,
+        epi_module_mid_block=mid_modules,
+    )
+    _set_all_unet_processors(oracle)
+    randomize_scaled_(oracle, seed=21)
+
+    rng = np.random.default_rng(22)
+    sample = rng.standard_normal((B, 4, Fw, S, S)).astype(np.float32)
+    text = rng.standard_normal((B, L, CROSS)).astype(np.float32)
+    pose = [rng.standard_normal((B, CH[i], Fw, S // 2**i, S // 2**i))
+            .astype(np.float32) for i in range(4)]
+    F_mats = (rng.standard_normal((B, Fw, 3, 3)) * 1e-3).astype(np.float32)
+    t = torch.tensor(500)
+    with torch.no_grad():
+        want, want_auxiliary, want_aux = oracle(
+            torch.from_numpy(sample), t, torch.from_numpy(text),
+            F_mats=torch.from_numpy(F_mats),
+            pose_embedding_features=[torch.from_numpy(p) for p in pose],
+        )
+
+    cfg = UNetConfig(
+        block_out_channels=CH, layers_per_block=1, attention_heads=HEADS,
+        cross_attention_dim=CROSS, norm_num_groups=GROUPS,
+        motion_zero_initialize=False, epi_zero_initialize=False,
+        motion_module_mid_block=mid_modules, epi_module_mid_block=mid_modules,
+        additional_channel=2,
+    )
+    model = UNet3DConditionModel(cfg)
+    sample_j = jnp.asarray(sample.transpose(0, 2, 3, 4, 1))
+    pose_j = [jnp.asarray(p.transpose(0, 2, 3, 4, 1)) for p in pose]
+    cond = _epi_cond(F_mats=jnp.asarray(F_mats.reshape(B * Fw, 3, 3)),
+                     video_length=Fw)
+    variables = model.init(
+        jax.random.key(0), sample_j, jnp.asarray(500, jnp.int32),
+        jnp.asarray(text), pose_j, cond,
+    )
+    variables = import_params(variables, oracle)
+    got, extras = model.apply(
+        variables, sample_j, jnp.asarray(500, jnp.int32), jnp.asarray(text),
+        pose_j, cond,
+    )
+
+    want_np = want.numpy().transpose(0, 2, 3, 4, 1)
+    got_np = np.asarray(got)
+    # signal-to-noise of the eps prediction: the north-star bar is 35 dB on
+    # decoded frames; demand far more at the latent/eps level
+    snr_db = 10 * np.log10(
+        np.mean(want_np**2) / max(np.mean((got_np - want_np) ** 2), 1e-30)
+    )
+    assert snr_db >= 60.0, f"full-UNet eps SNR {snr_db:.1f} dB < 60 dB"
+    np.testing.assert_allclose(got_np, want_np, rtol=5e-3, atol=5e-3,
+                               err_msg="full UNet output")
+
+    # down: stages 0-2 CrossAttn (1 layer each) + stage 3 plain = 4 epi
+    # modules; up: 4 blocks x (layers_per_block+1)=2 layers = 8 epi modules;
+    # each epi module has 2 attention blocks -> 2 aux entries
+    n_epi_modules = 4 + 8 + (1 if mid_modules else 0)
+    assert len(want_aux) == len(extras["epi_qk"]) == 2 * n_epi_modules
+    for g, w in ((extras["epi_qk"][-1]["query"], want_aux[-1]["query"]),
+                 (extras["epi_qk"][-1]["key"], want_aux[-1]["key"])):
+        np.testing.assert_allclose(np.asarray(g), w.numpy(), rtol=5e-3,
+                                   atol=5e-3, err_msg="last epi aux")
+
+    assert (extras["auxiliary"] is None) == (want_auxiliary is None)
+    want_auxiliary = want_auxiliary.numpy().transpose(0, 2, 3, 4, 1)
+    np.testing.assert_allclose(np.asarray(extras["auxiliary"]),
+                               want_auxiliary, rtol=5e-3, atol=5e-3,
+                               err_msg="auxiliary head")
