@@ -49,6 +49,9 @@ def main():
                         "(--views views, multistep per run_inference_advanced.sh)")
     p.add_argument("--views", type=int, default=4)
     p.add_argument("--multistep", type=int, default=3)
+    p.add_argument("--accumulate", type=int, default=1,
+                   help="accumulate_step (reference 6-view config: "
+                        "--multistep 6 --accumulate 2)")
     args = p.parse_args()
 
     from cvd_tpu.utils.cache import enable_compilation_cache
@@ -88,6 +91,10 @@ def main():
         unet_config=unet_cfg, vae_config=vae_cfg, clip_config=clip_cfg,
         latent_size=args.size // 8, video_length=args.frames,
     )
+    if not args.f32:
+        # bf16 weights, matching the CLIs' --bf16 deployment: halves the
+        # resident bundle (7.9 -> 4.0 GiB) and per-step weight HBM reads
+        modules.cast_params()
     init_s = time.time() - t0
     _note(f"init done in {init_s:.1f}s")
 
@@ -115,7 +122,7 @@ def main():
             c2w=jnp.asarray(c2ws, jnp.float32),
             K_mats=jnp.asarray(K, jnp.float32),
             num_inference_steps=args.steps, multistep=args.multistep,
-            rng=key,
+            accumulate_step=args.accumulate, rng=key,
         )
     else:
         Fp = G.fundamental_between_views(
@@ -151,21 +158,32 @@ def main():
             "e2e_seconds": round(e2e_s, 3),
             "compile_seconds": round(compile_s, 1),
             "config": f"{V}view-{F}f-{IMG}px-{args.steps}steps-"
-                      f"ms{args.multistep}-"
+                      f"ms{args.multistep}-acc{args.accumulate}-"
                       f"{'f32' if args.f32 else 'bf16'}{'-tiny' if args.tiny else ''}",
         }))
         return
 
-    # denoise-only (no VAE decode) to expose UNet step time
-    _note("compiling denoise-only variant")
-    lat = pipe(ids, neg, plucker, F_mats, num_inference_steps=args.steps,
-               rng=jax.random.key(0), decode=False)
-    _sync(lat)
-    t0 = time.time()
-    lat = pipe(ids, neg, plucker, F_mats, num_inference_steps=args.steps,
-               rng=jax.random.key(1), decode=False)
-    _sync(lat)
-    denoise_s = time.time() - t0
+    # UNet step time = (e2e - VAE decode) / steps. Decode is timed with a
+    # small decode-only program instead of recompiling the whole pipeline
+    # without decode (saves a second ~200 s full-UNet server compile).
+    _note("compiling decode-only variant")
+    from cvd_tpu.pipelines.common import decode_latents
+
+    lat_shape = (2, args.frames, args.size // 8, args.size // 8, 4)
+    z = jnp.zeros(lat_shape, dtype)
+    dec = jax.jit(lambda vp, zz: decode_latents(modules, vp, zz))
+    # the remote backend finishes lazy setup on the SECOND call too
+    # (measured: call 2 of a fresh program runs 3x slower than call 3+);
+    # warm twice, then take the median of three
+    _sync(dec(modules.vae_params, z))
+    _sync(dec(modules.vae_params, z * 2.0))
+    dts = []
+    for i in range(3):
+        t0 = time.time()
+        _sync(dec(modules.vae_params, z * (0.5 + i)))
+        dts.append(time.time() - t0)
+    decode_s = float(np.median(dts))
+    denoise_s = e2e_s - decode_s
 
     videos_per_min = V / e2e_s * 60.0
     step_s = denoise_s / args.steps
@@ -176,7 +194,7 @@ def main():
         "vs_baseline": round(videos_per_min / 6.0, 3),
         "e2e_seconds_2view": round(e2e_s, 3),
         "unet_step_ms": round(step_s * 1000.0, 2),
-        "decode_seconds": round(e2e_s - denoise_s, 3),
+        "decode_seconds": round(decode_s, 3),
         "compile_seconds": round(compile_s, 1),
         "init_seconds": round(init_s, 1),
         "config": f"{V}view-{F}f-{IMG}px-{args.steps}steps-"

@@ -92,6 +92,11 @@ def main(args):
 
     logger.info("building pipeline")
     modules, tokenizer = build_modules(args, F, args.image_height)
+    if args.bf16:
+        # bf16 weights for inference: halves the resident bundle and the
+        # per-step weight HBM traffic (reference deploys fp16 weights,
+        # inference_epi.py:160)
+        modules.cast_params()
     mesh = None
     if args.sharded:
         from cvd_tpu.parallel import inference_mesh

@@ -44,6 +44,7 @@ def test_inference_cli_smoke(tmp_path):
         "--pose_file_0", str(p0), "--pose_file_1", str(p1),
         "--image_height", "64", "--image_width", "64",
         "--video_length", "2", "--num_inference_steps", "2",
+        "--bf16",  # exercises the cast_params bf16-weight deployment path
         "--out_root", str(out),
     ])
     main(args)
