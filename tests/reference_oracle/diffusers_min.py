@@ -334,3 +334,208 @@ class TimestepEmbedding(nn.Module):
 
     def forward(self, sample):
         return self.linear_2(self.act(self.linear_1(sample)))
+
+
+class DDIMSchedulerOracle:
+    """diffusers 0.24 DDIMScheduler as configured by the reference
+    (configs/inference_config.yaml:58-64: 1000 train steps, linear betas
+    0.00085 -> 0.012, steps_offset=1, clip_sample=False) with the defaults
+    the reference relies on (epsilon prediction, set_alpha_to_one=True,
+    eta=0, 'leading' timestep spacing). Schedule tables in float64 like
+    diffusers' numpy path, steps in int64."""
+
+    def __init__(self, num_train_timesteps=1000, beta_start=0.00085,
+                 beta_end=0.012, steps_offset=1):
+        import numpy as np
+
+        self.num_train_timesteps = num_train_timesteps
+        self.steps_offset = steps_offset
+        betas = np.linspace(beta_start, beta_end, num_train_timesteps,
+                            dtype=np.float64)
+        self.alphas_cumprod = np.cumprod(1.0 - betas)
+        self.final_alpha_cumprod = 1.0  # set_alpha_to_one=True
+        self.init_noise_sigma = 1.0
+        self.timesteps = None
+        self.num_inference_steps = None
+
+    def set_timesteps(self, num_inference_steps):
+        import numpy as np
+
+        self.num_inference_steps = num_inference_steps
+        step_ratio = self.num_train_timesteps // num_inference_steps
+        self.timesteps = (
+            (np.arange(0, num_inference_steps) * step_ratio)
+            .round()[::-1].copy().astype(np.int64) + self.steps_offset
+        )
+
+    def scale_model_input(self, sample, t=None):
+        return sample
+
+    def step(self, model_output, timestep, sample):
+        """x_t -> x_{t-1}, epsilon prediction, eta=0, no clipping."""
+        t = int(timestep)
+        prev_t = t - self.num_train_timesteps // self.num_inference_steps
+        alpha_prod_t = float(self.alphas_cumprod[t])
+        alpha_prod_t_prev = (
+            float(self.alphas_cumprod[prev_t]) if prev_t >= 0
+            else self.final_alpha_cumprod
+        )
+        beta_prod_t = 1.0 - alpha_prod_t
+        pred_x0 = (sample - beta_prod_t**0.5 * model_output) / alpha_prod_t**0.5
+        pred_dir = (1.0 - alpha_prod_t_prev) ** 0.5 * model_output
+        return alpha_prod_t_prev**0.5 * pred_x0 + pred_dir
+
+    def add_noise(self, original, noise, timesteps):
+        """forward diffusion q(x_t | x_0) (train-time add_noise)."""
+        import numpy as np
+
+        acp = torch.from_numpy(
+            np.asarray(self.alphas_cumprod[np.asarray(timesteps)])
+        ).to(original.dtype)
+        while acp.ndim < original.ndim:
+            acp = acp[..., None]
+        return acp**0.5 * original + (1.0 - acp) ** 0.5 * noise
+
+
+class VAEAttentionOracle(nn.Module):
+    """diffusers 0.24 VAE mid-block Attention (single head, in-attention
+    GroupNorm, residual add): state keys group_norm / to_q / to_k / to_v /
+    to_out.0 (the post-0.17 renamed layout)."""
+
+    def __init__(self, channels, norm_num_groups=32):
+        super().__init__()
+        self.group_norm = nn.GroupNorm(norm_num_groups, channels, eps=1e-6,
+                                       affine=True)
+        self.to_q = nn.Linear(channels, channels)
+        self.to_k = nn.Linear(channels, channels)
+        self.to_v = nn.Linear(channels, channels)
+        self.to_out = nn.ModuleList([nn.Linear(channels, channels)])
+        self.scale = channels**-0.5
+
+    def forward(self, x):
+        B, C, H, W = x.shape
+        residual = x
+        h = self.group_norm(x).reshape(B, C, H * W).transpose(1, 2)
+        q, k, v = self.to_q(h), self.to_k(h), self.to_v(h)
+        attn = torch.softmax(q @ k.transpose(1, 2) * self.scale, dim=-1)
+        h = self.to_out[0](attn @ v)
+        return h.transpose(1, 2).reshape(B, C, H, W) + residual
+
+
+class _VAEMidBlock(nn.Module):
+    def __init__(self, channels, groups):
+        super().__init__()
+        self.resnets = nn.ModuleList([
+            ResnetBlock2D(channels, channels, temb_channels=None, groups=groups),
+            ResnetBlock2D(channels, channels, temb_channels=None, groups=groups),
+        ])
+        self.attentions = nn.ModuleList([VAEAttentionOracle(channels, groups)])
+
+    def forward(self, x):
+        x = self.resnets[0](x, None)
+        x = self.attentions[0](x)
+        return self.resnets[1](x, None)
+
+
+class _VAEDownBlock(nn.Module):
+    """DownEncoderBlock2D: resnets + (0,1,0,1)-padded stride-2 conv."""
+
+    def __init__(self, in_ch, out_ch, layers, add_downsample, groups):
+        super().__init__()
+        self.resnets = nn.ModuleList([
+            ResnetBlock2D(in_ch if j == 0 else out_ch, out_ch,
+                          temb_channels=None, groups=groups)
+            for j in range(layers)
+        ])
+        self.downsamplers = None
+        if add_downsample:
+            ds = nn.Module()
+            ds.conv = nn.Conv2d(out_ch, out_ch, 3, stride=2, padding=0)
+            self.downsamplers = nn.ModuleList([ds])
+
+    def forward(self, x):
+        for r in self.resnets:
+            x = r(x, None)
+        if self.downsamplers is not None:
+            x = F.pad(x, (0, 1, 0, 1))
+            x = self.downsamplers[0].conv(x)
+        return x
+
+
+class _VAEUpBlock(nn.Module):
+    """UpDecoderBlock2D: layers+1 resnets + nearest-x2 upsample conv."""
+
+    def __init__(self, in_ch, out_ch, layers, add_upsample, groups):
+        super().__init__()
+        self.resnets = nn.ModuleList([
+            ResnetBlock2D(in_ch if j == 0 else out_ch, out_ch,
+                          temb_channels=None, groups=groups)
+            for j in range(layers)
+        ])
+        self.upsamplers = (
+            nn.ModuleList([Upsample2D(out_ch)]) if add_upsample else None
+        )
+
+    def forward(self, x):
+        for r in self.resnets:
+            x = r(x, None)
+        if self.upsamplers is not None:
+            x = self.upsamplers[0](x)
+        return x
+
+
+class AutoencoderKLOracle(nn.Module):
+    """diffusers 0.24 AutoencoderKL at the SD1.5 config shape: encoder
+    (conv_in, DownEncoderBlock2D x4, mid, GN+silu, conv_out -> 2*latent),
+    quant/post_quant 1x1 convs, decoder (conv_in, mid, UpDecoderBlock2D x4,
+    GN+silu, conv_out). State-dict keys match real diffusers-era VAE files."""
+
+    def __init__(self, block_out_channels=(128, 256, 512, 512),
+                 layers_per_block=2, norm_num_groups=32, in_channels=3,
+                 out_channels=3, latent_channels=4):
+        super().__init__()
+        ch = list(block_out_channels)
+        enc = nn.Module()
+        enc.conv_in = nn.Conv2d(in_channels, ch[0], 3, 1, 1)
+        enc.down_blocks = nn.ModuleList([
+            _VAEDownBlock(ch[max(i - 1, 0)], c, layers_per_block,
+                          i < len(ch) - 1, norm_num_groups)
+            for i, c in enumerate(ch)
+        ])
+        enc.mid_block = _VAEMidBlock(ch[-1], norm_num_groups)
+        enc.conv_norm_out = nn.GroupNorm(norm_num_groups, ch[-1], eps=1e-6)
+        enc.conv_out = nn.Conv2d(ch[-1], 2 * latent_channels, 3, 1, 1)
+        self.encoder = enc
+
+        rch = list(reversed(ch))
+        dec = nn.Module()
+        dec.conv_in = nn.Conv2d(latent_channels, rch[0], 3, 1, 1)
+        dec.mid_block = _VAEMidBlock(rch[0], norm_num_groups)
+        dec.up_blocks = nn.ModuleList([
+            _VAEUpBlock(rch[max(i - 1, 0)], c, layers_per_block + 1,
+                        i < len(rch) - 1, norm_num_groups)
+            for i, c in enumerate(rch)
+        ])
+        dec.conv_norm_out = nn.GroupNorm(norm_num_groups, rch[-1], eps=1e-6)
+        dec.conv_out = nn.Conv2d(rch[-1], out_channels, 3, 1, 1)
+        self.decoder = dec
+
+        self.quant_conv = nn.Conv2d(2 * latent_channels, 2 * latent_channels, 1)
+        self.post_quant_conv = nn.Conv2d(latent_channels, latent_channels, 1)
+        self.act = nn.SiLU()
+
+    def encode_moments(self, x):
+        h = self.encoder.conv_in(x)
+        for blk in self.encoder.down_blocks:
+            h = blk(h)
+        h = self.encoder.mid_block(h)
+        h = self.act(self.encoder.conv_norm_out(h))
+        return self.quant_conv(self.encoder.conv_out(h))
+
+    def decode(self, z):
+        h = self.decoder.conv_in(self.post_quant_conv(z))
+        h = self.decoder.mid_block(h)
+        for blk in self.decoder.up_blocks:
+            h = blk(h)
+        h = self.act(self.decoder.conv_norm_out(h))
+        return self.decoder.conv_out(h)

@@ -620,3 +620,223 @@ def test_full_unet_golden(mid_modules):
     np.testing.assert_allclose(np.asarray(extras["auxiliary"]),
                                want_auxiliary, rtol=5e-3, atol=5e-3,
                                err_msg="auxiliary head")
+
+
+# ------------------------------------------- end-to-end sampling loop
+
+@pytest.mark.slow
+def test_simple_pipeline_latent_golden():
+    """The COMPLETE 2-view denoising run vs the reference pipeline loop
+    (pipeline_animation_epi.py:484-662): 4-way CFG batch ordering of
+    latents/text/pose/F_mats (:565-573, 628-630), pose encoder run once
+    outside the loop (:592-598), diffusers-0.24 DDIM schedule + step
+    (configs/inference_config.yaml:58-64), and chunk(4) guidance
+    recombination (:642-646) — torch oracle loop vs SimplePipeline's
+    single lax.scan at imported random weights. Text embeddings are
+    computed once by the Flax CLIP and fed to BOTH sides (CLIP has its
+    own golden test), so any mismatch here is sampler/UNet semantics."""
+    from cvd_tpu.models.clip_text import CLIPTextConfig
+    from cvd_tpu.models.unet import UNetConfig
+    from cvd_tpu.models.vae import VAEConfig
+    from cvd_tpu.pipelines.common import PipelineModules, encode_prompt
+    from cvd_tpu.pipelines.simple import SimplePipeline
+    from cvd_tpu.io.tokenizer import HashTokenizer
+
+    from reference_oracle.diffusers_min import DDIMSchedulerOracle
+
+    Fw, S, HEADS, CROSS, STEPS, G = 16, 16, 4, 24, 3, 8.5
+    CH = (32, 32, 64, 64)
+    GROUPS = 8
+    IMG = S * 8
+
+    # ---- torch oracle: UNet + pose encoder at scaled random weights
+    mm_kwargs = dict(
+        num_attention_heads=HEADS, num_transformer_block=1,
+        attention_block_types=("Temporal_Self", "Temporal_Self"),
+        temporal_position_encoding=True,
+        temporal_position_encoding_max_len=32, zero_initialize=False,
+    )
+    epi_kwargs = dict(
+        num_attention_heads=HEADS, num_transformer_block=1,
+        attention_block_types=("Epi_Self", "Epi_Self"),
+        epi_position_encoding=True, epi_position_encoding_feat_max_size=64,
+        epi_position_encoding_F_mat_size=256, epi_rand_slope_ff=False,
+        zero_initialize=False,
+    )
+    unet_oracle = ref.UNet3DConditionModelPoseCond(
+        block_out_channels=CH, layers_per_block=1, norm_num_groups=GROUPS,
+        attn_num_head_channels=HEADS, cross_attention_dim=CROSS,
+        motion_module_kwargs=mm_kwargs, epi_module_kwargs=epi_kwargs,
+    )
+    _set_all_unet_processors(unet_oracle)
+    randomize_scaled_(unet_oracle, seed=30)
+
+    pose_oracle = ref.CameraPoseEncoder(
+        downscale_factor=8, channels=CH, nums_rb=2, cin=6 * 64,
+        temporal_attention_nhead=HEADS, temporal_position_encoding=True,
+        temporal_position_encoding_max_len=16,
+    )
+    for blocks in pose_oracle.encoder_down_attention_blocks:
+        for blk in blocks:
+            blk.attention_blocks[0].processor = ref.AttnProcessor("temporal")
+    randomize_scaled_(pose_oracle, seed=31)
+
+    # ---- Flax bundle with the SAME weights
+    modules = PipelineModules.create(
+        unet_config=UNetConfig(
+            block_out_channels=CH, layers_per_block=1, attention_heads=HEADS,
+            cross_attention_dim=CROSS, norm_num_groups=GROUPS,
+            motion_zero_initialize=False, epi_zero_initialize=False,
+        ),
+        vae_config=VAEConfig(block_out_channels=(32, 32, 64, 64),
+                             norm_num_groups=8),
+        clip_config=CLIPTextConfig(hidden_size=CROSS, num_layers=2,
+                                   num_heads=4, intermediate_size=48),
+        pose_encoder_kwargs=dict(
+            downscale_factor=8, nums_rb=2, cin=6 * 64,
+            temporal_attention_nhead=HEADS, temporal_pe_max_len=16,
+        ),
+        latent_size=S, video_length=Fw,
+    )
+    modules.unet_params = import_params(modules.unet_params, unet_oracle)
+    modules.pose_encoder_params = import_params(
+        modules.pose_encoder_params, pose_oracle)
+
+    # ---- shared inputs
+    rng = np.random.default_rng(32)
+    plucker = rng.standard_normal((2, Fw, IMG, IMG, 6)).astype(np.float32)
+    F_mats = (rng.standard_normal((2, Fw, 3, 3)) * 1e-3).astype(np.float32)
+    lat0 = rng.standard_normal((2, Fw, S, S, 4)).astype(np.float32)
+    tok = HashTokenizer()
+    ids = jnp.asarray(tok(["a golden parity scene"]))
+    neg = jnp.asarray(tok([""]))
+    uncond, cond = encode_prompt(modules, modules.clip_params, ids, neg)
+    # text_embeddings.repeat(2, 1, 1) with [uncond; cond] -> [u, c, u, c]
+    text4 = torch.from_numpy(
+        np.concatenate([uncond, cond, uncond, cond], axis=0))
+
+    # ---- torch reference loop
+    sched = DDIMSchedulerOracle()
+    sched.set_timesteps(STEPS)
+    with torch.no_grad():
+        pf = pose_oracle(
+            torch.from_numpy(plucker.transpose(0, 1, 4, 2, 3)
+                             .reshape(2, Fw, 6, IMG, IMG)
+                             .transpose(0, 2, 1, 3, 4).copy()))
+        # (b f) c h w -> b c f h w, then [src, src, tgt, tgt]
+        pf = [x.reshape(2, Fw, *x.shape[1:]).permute(0, 2, 1, 3, 4)
+              for x in pf]
+        pf4 = [torch.cat([x[:1], x[:1], x[1:], x[1:]], dim=0) for x in pf]
+        Ft = torch.from_numpy(F_mats)
+        F4 = torch.cat([Ft[:1], Ft[:1], Ft[1:], Ft[1:]], dim=0)
+        lat = torch.from_numpy(lat0.transpose(0, 4, 1, 2, 3).copy())
+        lat = lat * sched.init_noise_sigma
+        for t in sched.timesteps:
+            lat_in = torch.cat([lat[:1], lat[:1], lat[1:], lat[1:]], dim=0)
+            lat_in = sched.scale_model_input(lat_in, t)
+            eps, _, _ = unet_oracle(lat_in, torch.tensor(int(t)), text4,
+                                    F_mats=F4, pose_embedding_features=pf4)
+            e = eps.chunk(4)
+            eps_u = torch.cat([e[0], e[2]], dim=0)
+            eps_t = torch.cat([e[1], e[3]], dim=0)
+            eps_g = eps_u + G * (eps_t - eps_u)
+            lat = sched.step(eps_g, t, lat)
+        want = lat.numpy().transpose(0, 2, 3, 4, 1)  # -> [2, F, h, w, 4]
+
+    # ---- Flax pipeline (one jitted lax.scan)
+    pipe = SimplePipeline(modules, F_mat_size=256, rand_slope_ff=False,
+                          use_flash_kernel=False)
+    got = np.asarray(pipe(
+        ids, neg, jnp.asarray(plucker), jnp.asarray(F_mats),
+        num_inference_steps=STEPS, guidance_scale=G,
+        rng=jax.random.key(5), latents=jnp.asarray(lat0), decode=False,
+    ))
+
+    snr_db = 10 * np.log10(
+        np.mean(want**2) / max(np.mean((got - want) ** 2), 1e-30))
+    assert snr_db >= 60.0, f"pipeline latent SNR {snr_db:.1f} dB < 60 dB"
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3,
+                               err_msg="final latents")
+
+
+# -------------------------------------------------------- VAE and CLIP
+
+def test_vae_golden():
+    """AutoencoderKL encode-moments + decode vs a transcription of
+    diffusers 0.24's AutoencoderKL (the reference loads it via
+    AutoencoderKL.from_pretrained, inference_epi.py:76) at imported
+    random weights, through the real load path (io.checkpoints
+    merge + vae_legacy_rename)."""
+    from cvd_tpu.models.vae import AutoencoderKL, VAEConfig
+    from cvd_tpu.io.key_mapping import merge_torch_state, vae_legacy_rename
+
+    from reference_oracle.diffusers_min import AutoencoderKLOracle
+
+    CH, GROUPS, S = (16, 32, 32, 32), 8, 32
+    oracle = AutoencoderKLOracle(block_out_channels=CH, layers_per_block=2,
+                                 norm_num_groups=GROUPS)
+    randomize_scaled_(oracle, seed=40)
+
+    vae = AutoencoderKL(VAEConfig(block_out_channels=CH, layers_per_block=2,
+                                  norm_num_groups=GROUPS))
+    rng = np.random.default_rng(41)
+    img = rng.standard_normal((2, S, S, 3)).astype(np.float32)
+    z = rng.standard_normal((2, S // 8, S // 8, 4)).astype(np.float32)
+
+    variables = vae.init(jax.random.key(0), jnp.asarray(img), jax.random.key(1))
+    state = np_state(oracle)
+    variables, consumed = merge_torch_state(variables, state,
+                                            rename=vae_legacy_rename)
+    assert len(consumed) == len(state), "unconsumed VAE oracle keys"
+
+    with torch.no_grad():
+        want_mom = oracle.encode_moments(
+            torch.from_numpy(img.transpose(0, 3, 1, 2).copy()))
+        want_img = oracle.decode(torch.from_numpy(z.transpose(0, 3, 1, 2).copy()))
+
+    mean, logvar = vae.apply(variables, jnp.asarray(img), method=vae.encode)
+    got_mom = np.concatenate([np.asarray(mean), np.asarray(logvar)], axis=-1)
+    want_mom = want_mom.numpy().transpose(0, 2, 3, 1)
+    # our encode clips logvar to [-30, 20] (diffusers DiagonalGaussian does
+    # the same before sampling); random weights stay far inside that range
+    allclose(got_mom, want_mom, "VAE encode moments")
+
+    got_img = vae.apply(variables, jnp.asarray(z), method=vae.decode)
+    allclose(got_img, want_img.numpy().transpose(0, 2, 3, 1), "VAE decode")
+
+
+def test_clip_text_golden():
+    """CLIPTextEncoder vs the real transformers CLIPTextModel (the library
+    the reference uses, inference_epi.py:77-78) with quick_gelu at imported
+    random weights, through io.checkpoints.clip_rename."""
+    import transformers
+
+    from cvd_tpu.io.checkpoints import clip_rename
+    from cvd_tpu.models.clip_text import CLIPTextConfig, CLIPTextEncoder
+
+    hf_cfg = transformers.CLIPTextConfig(
+        vocab_size=1000, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4,
+        max_position_embeddings=77, hidden_act="quick_gelu",
+    )
+    oracle = transformers.CLIPTextModel(hf_cfg)
+    randomize_(oracle, seed=50, std=0.02)
+
+    enc = CLIPTextEncoder(CLIPTextConfig(
+        vocab_size=1000, hidden_size=64, intermediate_size=128,
+        num_layers=3, num_heads=4,
+    ))
+    ids = np.random.default_rng(51).integers(0, 1000, (2, 77), dtype=np.int64)
+    variables = enc.init(jax.random.key(0), jnp.asarray(ids, jnp.int32))
+    state = np_state(oracle)
+    # position_ids is a registered buffer, not a weight
+    state = {k: v for k, v in state.items() if not k.endswith("position_ids")}
+    from cvd_tpu.io.key_mapping import merge_torch_state
+
+    variables, consumed = merge_torch_state(variables, state, rename=clip_rename)
+    assert len(consumed) == len(state), "unconsumed CLIP oracle keys"
+
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(ids)).last_hidden_state.numpy()
+    got = enc.apply(variables, jnp.asarray(ids, jnp.int32))
+    allclose(got, want, "CLIP last_hidden_state")
