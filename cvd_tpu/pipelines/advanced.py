@@ -221,10 +221,23 @@ class AdvancedPipeline:
                 active = jnp.logical_or(mt_idx == 0, jnp.logical_not(is_last))
 
                 def run(lat_mt, k):
-                    k, *acc_keys = jax.random.split(k, accumulate_step + 1)
-                    eps_sum = jnp.zeros_like(lat_mt)
-                    for a in range(accumulate_step):
-                        eps_sum = eps_sum + guided_eps(lat_mt, t, acc_keys[a])
+                    k, acc_key = jax.random.split(k)
+                    if accumulate_step == 1:
+                        eps_sum = guided_eps(lat_mt, t, acc_key)
+                    else:
+                        # scan over pairings so the UNet body is traced ONCE
+                        # regardless of accumulate_step: a Python loop
+                        # inlines accumulate_step full UNet bodies into the
+                        # multistep scan, and the doubled program reliably
+                        # crashes the remote TPU compiler (observed at 4
+                        # and 6 views with accumulate_step=2)
+                        def acc_body(eps_acc, ak):
+                            return eps_acc + guided_eps(lat_mt, t, ak), None
+
+                        eps_sum, _ = jax.lax.scan(
+                            acc_body, jnp.zeros_like(lat_mt),
+                            jax.random.split(acc_key, accumulate_step),
+                        )
                     lat_next = m.scheduler.step(
                         sched_state, eps_sum / accumulate_step, t, lat_mt
                     )
