@@ -840,3 +840,163 @@ def test_clip_text_golden():
         want = oracle(torch.from_numpy(ids)).last_hidden_state.numpy()
     got = enc.apply(variables, jnp.asarray(ids, jnp.int32))
     allclose(got, want, "CLIP last_hidden_state")
+
+
+@pytest.mark.slow
+def test_advanced_pipeline_latent_golden(monkeypatch):
+    """The N-view advanced denoising run vs the reference loop
+    (pipeline_animation_epi_advanced.py:536-705): interleaved CFG via
+    repeat_interleave(2)/[0::2]-[1::2] (:672-691), random-pairing
+    video_id kv routing (:621-633), per-frame fundamental matrices from
+    aux_c2w/aux_K_mats computed in the pipeline (:636-647, via
+    dataset_train_realestate10k.py:28-64 math transcribed below), and
+    text repeat(V) (:566). multistep=accumulate=1 isolates the routing
+    semantics (the multistep re-noise formula has its own scheduler
+    tests); the pairing is pinned identically on both sides."""
+    import cvd_tpu.pipelines.advanced as adv
+    from cvd_tpu import geometry as G
+    from cvd_tpu.geometry.trajectories import default_intrinsics
+    from cvd_tpu.io.tokenizer import HashTokenizer
+    from cvd_tpu.models.clip_text import CLIPTextConfig
+    from cvd_tpu.models.unet import UNetConfig
+    from cvd_tpu.models.vae import VAEConfig
+    from cvd_tpu.pipelines.common import PipelineModules, encode_prompt
+
+    from reference_oracle.diffusers_min import DDIMSchedulerOracle
+
+    V, Fw, S, HEADS, CROSS, STEPS, Gs = 4, 16, 16, 4, 24, 2, 8.5
+    CH = (32, 32, 64, 64)
+    IMG = S * 8
+    PARTNER = np.asarray([1, 0, 3, 2])
+
+    # --- reference epipolar math (dataset_train_realestate10k.py:28-64)
+    def calc_cross(vec):
+        m = np.zeros((3, 3))
+        m[0, 1], m[0, 2], m[1, 2] = -vec[2], vec[1], -vec[0]
+        return m - m.T
+
+    def calc_F(T, K1, K2):
+        R, t = T[:3, :3], T[:3, 3]
+        E = R @ calc_cross(-R.T @ t)
+        return np.linalg.inv(K2).T @ E @ np.linalg.inv(K1)
+
+    # --- oracles (same tiny config as the simple-pipeline golden)
+    mm_kwargs = dict(
+        num_attention_heads=HEADS, num_transformer_block=1,
+        attention_block_types=("Temporal_Self", "Temporal_Self"),
+        temporal_position_encoding=True,
+        temporal_position_encoding_max_len=32, zero_initialize=False,
+    )
+    epi_kwargs = dict(
+        num_attention_heads=HEADS, num_transformer_block=1,
+        attention_block_types=("Epi_Self", "Epi_Self"),
+        epi_position_encoding=True, epi_position_encoding_feat_max_size=64,
+        epi_position_encoding_F_mat_size=256, epi_rand_slope_ff=False,
+        zero_initialize=False,
+    )
+    unet_oracle = ref.UNet3DConditionModelPoseCond(
+        block_out_channels=CH, layers_per_block=1, norm_num_groups=8,
+        attn_num_head_channels=HEADS, cross_attention_dim=CROSS,
+        motion_module_kwargs=mm_kwargs, epi_module_kwargs=epi_kwargs,
+    )
+    _set_all_unet_processors(unet_oracle)
+    randomize_scaled_(unet_oracle, seed=60)
+    pose_oracle = ref.CameraPoseEncoder(
+        downscale_factor=8, channels=CH, nums_rb=2, cin=6 * 64,
+        temporal_attention_nhead=HEADS, temporal_position_encoding=True,
+        temporal_position_encoding_max_len=16,
+    )
+    for blocks in pose_oracle.encoder_down_attention_blocks:
+        for blk in blocks:
+            blk.attention_blocks[0].processor = ref.AttnProcessor("temporal")
+    randomize_scaled_(pose_oracle, seed=61)
+
+    modules = PipelineModules.create(
+        unet_config=UNetConfig(
+            block_out_channels=CH, layers_per_block=1, attention_heads=HEADS,
+            cross_attention_dim=CROSS, norm_num_groups=8,
+            motion_zero_initialize=False, epi_zero_initialize=False,
+        ),
+        vae_config=VAEConfig(block_out_channels=(32, 32, 64, 64),
+                             norm_num_groups=8),
+        clip_config=CLIPTextConfig(hidden_size=CROSS, num_layers=2,
+                                   num_heads=4, intermediate_size=48),
+        pose_encoder_kwargs=dict(
+            downscale_factor=8, nums_rb=2, cin=6 * 64,
+            temporal_attention_nhead=HEADS, temporal_pe_max_len=16,
+        ),
+        latent_size=S, video_length=Fw,
+    )
+    modules.unet_params = import_params(modules.unet_params, unet_oracle)
+    modules.pose_encoder_params = import_params(
+        modules.pose_encoder_params, pose_oracle)
+
+    # --- shared cameras / plucker / latents / text
+    c2ws = G.circle_trajectory(V, Fw, camera_dist=0.4)        # [V*F, 4, 4]
+    K = default_intrinsics(V, Fw, IMG, IMG)                   # [V*F, 3, 3]
+    intr = np.stack([K[:, 0, 0], K[:, 1, 1], K[:, 0, 2], K[:, 1, 2]], -1)
+    plucker = np.asarray(G.ray_condition(
+        jnp.asarray(intr, jnp.float32)[None],
+        jnp.asarray(c2ws, jnp.float32)[None], IMG, IMG,
+    )[0].reshape(V, Fw, IMG, IMG, 6))
+    rng = np.random.default_rng(62)
+    lat0 = rng.standard_normal((V, Fw, S, S, 4)).astype(np.float32)
+    tok = HashTokenizer()
+    ids = jnp.asarray(tok(["an advanced golden scene"]))
+    neg = jnp.asarray(tok([""]))
+    uncond, cond = encode_prompt(modules, modules.clip_params, ids, neg)
+    # text_embeddings.repeat(video_split_num, 1, 1) (:566)
+    text = torch.from_numpy(np.tile(
+        np.concatenate([uncond, cond], axis=0), (V, 1, 1)))
+
+    # --- torch reference loop (multistep=1, accumulate=1)
+    bf = V * Fw
+    offset_v = (PARTNER - np.arange(V)) * Fw
+    offset = np.repeat(offset_v, Fw)                         # [bf]
+    video_id = (np.arange(bf) + offset + bf) % bf
+    F_list = []
+    for f in range(bf):
+        s2t = np.linalg.inv(c2ws[video_id[f]]) @ c2ws[f]
+        F_list.append(calc_F(s2t, K[f], K[video_id[f]]))
+    F_mats = torch.from_numpy(
+        np.stack(F_list).reshape(V, Fw, 3, 3).astype(np.float32))
+    F_input = F_mats.repeat_interleave(2, dim=0)             # [2V, F, 3, 3]
+    vid_input = torch.from_numpy(
+        (np.arange(2 * bf) + np.repeat(offset, 2) * 2) % (2 * bf))
+
+    sched = DDIMSchedulerOracle()
+    sched.set_timesteps(STEPS)
+    with torch.no_grad():
+        pf = pose_oracle(torch.from_numpy(
+            plucker.transpose(0, 1, 4, 2, 3).transpose(0, 2, 1, 3, 4).copy()))
+        pf = [x.reshape(V, Fw, *x.shape[1:]).permute(0, 2, 1, 3, 4)
+              for x in pf]
+        pf2 = [x.repeat_interleave(2, dim=0) for x in pf]
+        lat = torch.from_numpy(lat0.transpose(0, 4, 1, 2, 3).copy())
+        for t in sched.timesteps:
+            lat_in = lat.repeat_interleave(2, dim=0)
+            eps, _, _ = unet_oracle(lat_in, torch.tensor(int(t)), text,
+                                    F_mats=[F_input, vid_input],
+                                    pose_embedding_features=pf2)
+            eps_g = eps[0::2] + Gs * (eps[1::2] - eps[0::2])
+            lat = sched.step(eps_g, t, lat)
+        want = lat.numpy().transpose(0, 2, 3, 4, 1)
+
+    # --- Flax pipeline with the pairing pinned to PARTNER
+    monkeypatch.setattr(
+        adv, "random_pairing",
+        lambda key, n: jnp.asarray(PARTNER, jnp.int32))
+    pipe = adv.AdvancedPipeline(modules, F_mat_size=256, rand_slope_ff=False,
+                                use_flash_kernel=False)
+    got = np.asarray(pipe(
+        ids, neg, jnp.asarray(plucker),
+        c2w=jnp.asarray(c2ws, jnp.float32), K_mats=jnp.asarray(K, jnp.float32),
+        num_inference_steps=STEPS, guidance_scale=Gs,
+        rng=jax.random.key(7), latents=jnp.asarray(lat0), decode=False,
+    ))
+
+    snr_db = 10 * np.log10(
+        np.mean(want**2) / max(np.mean((got - want) ** 2), 1e-30))
+    assert snr_db >= 60.0, f"advanced latent SNR {snr_db:.1f} dB < 60 dB"
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3,
+                               err_msg="advanced final latents")
