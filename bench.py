@@ -215,4 +215,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        # one retry: a freshly restarted TPU worker can fail/crash the
+        # first client after it (transient UNAVAILABLE/RESOURCE_EXHAUSTED
+        # over the remote tunnel)
+        _note(f"first attempt failed ({type(e).__name__}: {e}); retrying once")
+        time.sleep(30)
+        main()
