@@ -1,8 +1,11 @@
 """Benchmark harness: 2-view 16-frame 256px generation, 25 DDIM steps.
 
-Prints ONE JSON line:
+Prints JSON lines on stdout; the LAST line is the complete result:
   {"metric": "videos_per_min_per_chip", "value": N, "unit": "videos/min",
    "vs_baseline": R, ...extras}
+In simple mode a partial line (same metric, "partial": true) is emitted as
+soon as the end-to-end number is known, so a driver timeout mid-way still
+leaves a parsable number.
 
 vs_baseline is the ratio against the BASELINE.md north star expressed per
 chip: 2 videos in <20 s on v5e-8 -> 0.75 videos/min/chip if scaling were
@@ -11,15 +14,75 @@ i.e. vs_baseline >= 1.0 means one chip alone beats the 8-chip target.
 
 Weights are random (the reference artifacts are not available in this
 environment); FLOP/byte cost is weight-independent.
+
+Modes:
+  (default)     simple 2-view pipeline e2e + denoise-step ms + MFU
+  --advanced    N-view advanced pipeline (+ per-UNet-call MFU)
+  --train       full-size training iteration ms (B=2 folded pairs)
+  --warm-only   build + compile + exit (run after kernel changes so the
+                persistent XLA cache is hot before a driver bench window)
+
+Robustness (the round-2 driver bench died in a wedged backend init):
+  * backend init + first device op run under a hard SIGALRM watchdog
+    (~150 s) instead of hanging for the driver's whole window;
+  * the one-shot retry fires ONLY for transient backend errors
+    (UNAVAILABLE / worker crash / watchdog timeout), never for
+    deterministic failures like bad flags or shape errors.
 """
 from __future__ import annotations
 
 import argparse
+import contextlib
 import json
+import signal
 import sys
 import time
 
 import numpy as np
+
+INIT_WATCHDOG_SECONDS = 150
+
+# substrings that mark an error as a transient remote-backend failure worth
+# one retry; anything else (shape errors, OOM-by-design, bad flags) re-raises
+# immediately with its original traceback
+_TRANSIENT_MARKERS = (
+    "UNAVAILABLE",
+    "DEADLINE_EXCEEDED",
+    "RESOURCE_EXHAUSTED: TPU backend",
+    "worker process crashed",
+    "worker process restarted",
+    "Connection reset",
+    "Socket closed",
+    "failed to connect",
+    "watchdog:",
+)
+
+
+class _WatchdogTimeout(RuntimeError):
+    pass
+
+
+@contextlib.contextmanager
+def _watchdog(seconds: int, what: str):
+    """Hard SIGALRM deadline: a wedged remote TPU worker can hang backend
+    init for 25+ minutes (BENCH_r02); fail in minutes so the retry (or the
+    driver) has budget left."""
+
+    def _fire(signum, frame):
+        raise _WatchdogTimeout(f"watchdog: {what} exceeded {seconds}s")
+
+    prev = signal.signal(signal.SIGALRM, _fire)
+    signal.alarm(seconds)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, prev)
+
+
+def _is_transient(e: BaseException) -> bool:
+    s = f"{type(e).__name__}: {e}"
+    return any(m in s for m in _TRANSIENT_MARKERS)
 
 
 def _sync(x):
@@ -34,6 +97,189 @@ def _sync(x):
 
 def _note(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _emit(obj):
+    print(json.dumps(obj), flush=True)
+
+
+def _init_backend():
+    """Import jax and run one tiny device op under the watchdog."""
+    with _watchdog(INIT_WATCHDOG_SECONDS, "backend init + first device op"):
+        import jax
+        import jax.numpy as jnp
+
+        t0 = time.time()
+        dev = jax.devices()
+        x = jnp.ones((256, 256))
+        _sync(x @ x)
+        _note(
+            f"backend {jax.default_backend()} ({len(dev)} device(s)) healthy "
+            f"in {time.time() - t0:.1f}s"
+        )
+
+
+def _build_modules(args, dtype):
+    from cvd_tpu.models.clip_text import CLIPTextConfig
+    from cvd_tpu.models.unet import UNetConfig
+    from cvd_tpu.models.vae import VAEConfig
+    from cvd_tpu.pipelines.common import PipelineModules
+
+    if args.tiny:
+        unet_cfg = UNetConfig(
+            block_out_channels=(32, 64, 64, 64), attention_heads=4,
+            cross_attention_dim=24, norm_num_groups=8, dtype=dtype,
+        )
+        vae_cfg = VAEConfig(block_out_channels=(32, 32, 64, 64),
+                            norm_num_groups=8, dtype=dtype)
+        clip_cfg = CLIPTextConfig(hidden_size=24, num_layers=2, num_heads=4,
+                                  intermediate_size=48)
+    else:
+        unet_cfg = UNetConfig(dtype=dtype)
+        vae_cfg = VAEConfig(dtype=dtype)
+        clip_cfg = CLIPTextConfig()
+
+    _note("building modules (random weights)")
+    t0 = time.time()
+    modules = PipelineModules.create(
+        unet_config=unet_cfg, vae_config=vae_cfg, clip_config=clip_cfg,
+        latent_size=args.size // 8, video_length=args.frames,
+    )
+    if not args.f32 and not args.train:
+        # bf16 weights, matching the CLIs' --bf16 deployment: halves the
+        # resident bundle (7.9 -> 4.0 GiB) and per-step weight HBM reads.
+        # Training keeps f32 master weights (bf16 compute via module dtype).
+        modules.cast_params()
+    init_s = time.time() - t0
+    _note(f"init done in {init_s:.1f}s")
+    return modules, init_s
+
+
+def _camera_inputs(V, F, IMG):
+    import jax.numpy as jnp
+
+    from cvd_tpu import geometry as G
+    from cvd_tpu.geometry.trajectories import default_intrinsics
+    from cvd_tpu.io.tokenizer import HashTokenizer
+
+    c2ws = G.circle_trajectory(V, F, camera_dist=0.4)
+    K = default_intrinsics(V, F, IMG, IMG)
+    intr = np.stack([K[:, 0, 0], K[:, 1, 1], K[:, 0, 2], K[:, 1, 2]], -1)
+    plucker = G.ray_condition(
+        jnp.asarray(intr, jnp.float32)[None],
+        jnp.asarray(c2ws, jnp.float32)[None],
+        IMG, IMG,
+    )[0].reshape(V, F, IMG, IMG, 6)
+    tok = HashTokenizer()
+    ids = jnp.asarray(tok(["a cinematic fly-through of a modern house"]))
+    neg = jnp.asarray(tok([""]))
+    return c2ws, K, plucker, ids, neg
+
+
+def _pair_F_mats(c2ws, K, F):
+    import jax.numpy as jnp
+
+    from cvd_tpu import geometry as G
+
+    Fp = G.fundamental_between_views(
+        jnp.asarray(c2ws[:F], jnp.float32), jnp.asarray(c2ws[F:], jnp.float32),
+        jnp.asarray(K[:F], jnp.float32), jnp.asarray(K[F:], jnp.float32),
+    )
+    return jnp.stack([Fp, jnp.swapaxes(Fp, -1, -2)])
+
+
+def _bench_train(args, modules, init_s):
+    """Full-size training-iteration time: B=2 folded pairs -> 4 rows of
+    16 frames @256px, epi/sync/auxiliary trainable, block remat — the
+    BASELINE.md training row, now driver-visible."""
+    import jax
+    import jax.numpy as jnp
+
+    from cvd_tpu.train.state import create_train_state
+    from cvd_tpu.train.train_step import make_jitted_train_step
+
+    from cvd_tpu import geometry as G
+
+    F, IMG = args.frames, args.size
+    B = 4  # 2 videos x 2 folded views, video-major like the train CLI fold()
+    c2ws, K, plucker, ids, _ = _camera_inputs(4, F, IMG)
+    # videos: (cam0, cam2) and (cam1, cam3); fold() lays rows out
+    # [vid0_v0, vid1_v0, vid0_v1, vid1_v1], F per row maps it to its partner
+    c2 = jnp.asarray(c2ws, jnp.float32).reshape(4, F, 4, 4)
+    K2 = jnp.asarray(K, jnp.float32).reshape(4, F, 3, 3)
+    F02 = G.fundamental_between_views(c2[0], c2[2], K2[0], K2[2])
+    F13 = G.fundamental_between_views(c2[1], c2[3], K2[1], K2[3])
+    F_mats = jnp.stack(
+        [F02, F13, jnp.swapaxes(F02, -1, -2), jnp.swapaxes(F13, -1, -2)]
+    )
+    rng = np.random.default_rng(0)
+    batch = {
+        "pixel_values": jnp.asarray(
+            rng.standard_normal((B, F, IMG, IMG, 3), np.float32) * 0.5
+        ),
+        "text_ids": jnp.concatenate([ids] * B, axis=0),
+        "plucker": jnp.asarray(plucker[:B], jnp.float32),
+        "F_mats": F_mats,
+    }
+    state = create_train_state(modules.unet_params)
+    step_fn = make_jitted_train_step(modules, None, F_mat_size=IMG)
+
+    _note("compiling training step")
+    t0 = time.time()
+    key = jax.random.key(0)
+    state, metrics = step_fn(state, batch, key)
+    _sync(metrics["loss"])
+    compile_s = time.time() - t0
+    _note(f"compile done in {compile_s:.1f}s")
+    if args.warm_only:
+        return {"metric": "warm_compile_seconds", "value": round(compile_s, 1),
+                "unit": "s", "vs_baseline": 1.0, "mode": "train"}
+
+    times = []
+    for i in range(args.repeats):
+        t0 = time.time()
+        state, metrics = step_fn(state, batch, jax.random.key(i + 1))
+        _sync(metrics["loss"])
+        times.append(time.time() - t0)
+        _note(f"train iter {i}: {times[-1] * 1000:.0f}ms")
+    iter_ms = float(np.median(times)) * 1000.0
+    return {
+        "metric": "train_iter_ms",
+        "value": round(iter_ms, 1),
+        "unit": "ms",
+        # baseline: the 2026-08-17 manual run in BASELINE.md (576 ms);
+        # >1.0 means faster than that run
+        "vs_baseline": round(576.0 / iter_ms, 3),
+        "compile_seconds": round(compile_s, 1),
+        "init_seconds": round(init_s, 1),
+        "config": f"B{B}rows-{F}f-{IMG}px-remat-"
+                  f"{'f32' if args.f32 else 'bf16'}{'-tiny' if args.tiny else ''}",
+    }
+
+
+def _time_decode(modules, dtype, rows, frames, latent):
+    """Median decode-only seconds via a small decode-only program (avoids a
+    second ~200 s full-UNet server compile). Note: attributing e2e - decode
+    entirely to the UNet denoise loop also charges CLIP/pose-encoder/
+    scheduler/dispatch overhead to it — unet_step_ms is an upper bound."""
+    import jax
+    import jax.numpy as jnp
+
+    from cvd_tpu.pipelines.common import decode_latents
+
+    z = jnp.zeros((rows, frames, latent, latent, 4), dtype)
+    dec = jax.jit(lambda vp, zz: decode_latents(modules, vp, zz))
+    # the remote backend finishes lazy setup on the SECOND call too
+    # (measured: call 2 of a fresh program runs 3x slower than call 3+);
+    # warm twice, then take the median of three
+    _sync(dec(modules.vae_params, z))
+    _sync(dec(modules.vae_params, z * 2.0))
+    dts = []
+    for i in range(3):
+        t0 = time.time()
+        _sync(dec(modules.vae_params, z * (0.5 + i)))
+        dts.append(time.time() - t0)
+    return float(np.median(dts))
 
 
 def main():
@@ -52,64 +298,32 @@ def main():
     p.add_argument("--accumulate", type=int, default=1,
                    help="accumulate_step (reference 6-view config: "
                         "--multistep 6 --accumulate 2)")
+    p.add_argument("--train", action="store_true",
+                   help="bench one full training iteration instead")
+    p.add_argument("--warm-only", action="store_true",
+                   help="build + compile + exit: warms the persistent XLA "
+                        "cache after kernel changes so the next (driver) "
+                        "bench run skips the cold compile")
     args = p.parse_args()
 
     from cvd_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    _init_backend()
 
     import jax
     import jax.numpy as jnp
 
-    from cvd_tpu import geometry as G
-    from cvd_tpu.geometry.trajectories import default_intrinsics
-    from cvd_tpu.io.tokenizer import HashTokenizer
-    from cvd_tpu.models.clip_text import CLIPTextConfig
-    from cvd_tpu.models.unet import UNetConfig
-    from cvd_tpu.models.vae import VAEConfig
-    from cvd_tpu.pipelines.common import PipelineModules
-    from cvd_tpu.pipelines.simple import SimplePipeline
-
     dtype = jnp.float32 if args.f32 else jnp.bfloat16
-    if args.tiny:
-        unet_cfg = UNetConfig(
-            block_out_channels=(32, 64, 64, 64), attention_heads=4,
-            cross_attention_dim=24, norm_num_groups=8, dtype=dtype,
-        )
-        vae_cfg = VAEConfig(block_out_channels=(32, 32, 64, 64), norm_num_groups=8,
-                            dtype=dtype)
-        clip_cfg = CLIPTextConfig(hidden_size=24, num_layers=2, num_heads=4,
-                                  intermediate_size=48)
-    else:
-        unet_cfg = UNetConfig(dtype=dtype)
-        vae_cfg = VAEConfig(dtype=dtype)
-        clip_cfg = CLIPTextConfig()
+    modules, init_s = _build_modules(args, dtype)
 
-    _note("building modules (random weights)")
-    t0 = time.time()
-    modules = PipelineModules.create(
-        unet_config=unet_cfg, vae_config=vae_cfg, clip_config=clip_cfg,
-        latent_size=args.size // 8, video_length=args.frames,
-    )
-    if not args.f32:
-        # bf16 weights, matching the CLIs' --bf16 deployment: halves the
-        # resident bundle (7.9 -> 4.0 GiB) and per-step weight HBM reads
-        modules.cast_params()
-    init_s = time.time() - t0
-    _note(f"init done in {init_s:.1f}s")
+    if args.train:
+        _emit(_bench_train(args, modules, init_s))
+        return
 
     V = args.views if args.advanced else 2
     F, IMG = args.frames, args.size
-    c2ws = G.circle_trajectory(V, F, camera_dist=0.4)
-    K = default_intrinsics(V, F, IMG, IMG)
-    intr = np.stack([K[:, 0, 0], K[:, 1, 1], K[:, 0, 2], K[:, 1, 2]], -1)
-    plucker = G.ray_condition(
-        jnp.asarray(intr, jnp.float32)[None], jnp.asarray(c2ws, jnp.float32)[None],
-        IMG, IMG,
-    )[0].reshape(V, F, IMG, IMG, 6)
-    tok = HashTokenizer()
-    ids = jnp.asarray(tok(["a cinematic fly-through of a modern house"]))
-    neg = jnp.asarray(tok([""]))
+    c2ws, K, plucker, ids, neg = _camera_inputs(V, F, IMG)
 
     if args.advanced:
         from cvd_tpu.pipelines.advanced import AdvancedPipeline
@@ -125,11 +339,9 @@ def main():
             accumulate_step=args.accumulate, rng=key,
         )
     else:
-        Fp = G.fundamental_between_views(
-            jnp.asarray(c2ws[:F], jnp.float32), jnp.asarray(c2ws[F:], jnp.float32),
-            jnp.asarray(K[:F], jnp.float32), jnp.asarray(K[F:], jnp.float32),
-        )
-        F_mats = jnp.stack([Fp, jnp.swapaxes(Fp, -1, -2)])
+        from cvd_tpu.pipelines.simple import SimplePipeline
+
+        F_mats = _pair_F_mats(c2ws, K, F)
         pipe = SimplePipeline(modules, F_mat_size=IMG)
         run = lambda key: pipe(ids, neg, plucker, F_mats,
                                num_inference_steps=args.steps, rng=key)
@@ -140,6 +352,15 @@ def main():
     compile_s = time.time() - t0
     _note(f"compile done in {compile_s:.1f}s")
 
+    if args.warm_only:
+        if not args.advanced:
+            # also warm the decode-only program the full bench will time
+            _time_decode(modules, dtype, 2, args.frames, args.size // 8)
+        _emit({"metric": "warm_compile_seconds", "value": round(compile_s, 1),
+               "unit": "s", "vs_baseline": 1.0,
+               "mode": "advanced" if args.advanced else "simple"})
+        return
+
     times = []
     for i in range(args.repeats):
         t0 = time.time()
@@ -148,61 +369,45 @@ def main():
         _note(f"e2e repeat {i}: {times[-1]:.2f}s")
     e2e_s = float(np.median(times))
 
-    if args.advanced:
-        videos_per_min = V / e2e_s * 60.0
-        print(json.dumps({
-            "metric": "advanced_videos_per_min_per_chip",
-            "value": round(videos_per_min, 3),
-            "unit": "videos/min",
-            "vs_baseline": round(videos_per_min / 6.0, 3),
-            "e2e_seconds": round(e2e_s, 3),
-            "compile_seconds": round(compile_s, 1),
-            "config": f"{V}view-{F}f-{IMG}px-{args.steps}steps-"
-                      f"ms{args.multistep}-acc{args.accumulate}-"
-                      f"{'f32' if args.f32 else 'bf16'}{'-tiny' if args.tiny else ''}",
-        }))
-        return
-
-    # UNet step time = (e2e - VAE decode) / steps. Decode is timed with a
-    # small decode-only program instead of recompiling the whole pipeline
-    # without decode (saves a second ~200 s full-UNet server compile).
-    _note("compiling decode-only variant")
-    from cvd_tpu.pipelines.common import decode_latents
-
-    lat_shape = (2, args.frames, args.size // 8, args.size // 8, 4)
-    z = jnp.zeros(lat_shape, dtype)
-    dec = jax.jit(lambda vp, zz: decode_latents(modules, vp, zz))
-    # the remote backend finishes lazy setup on the SECOND call too
-    # (measured: call 2 of a fresh program runs 3x slower than call 3+);
-    # warm twice, then take the median of three
-    _sync(dec(modules.vae_params, z))
-    _sync(dec(modules.vae_params, z * 2.0))
-    dts = []
-    for i in range(3):
-        t0 = time.time()
-        _sync(dec(modules.vae_params, z * (0.5 + i)))
-        dts.append(time.time() - t0)
-    decode_s = float(np.median(dts))
-    denoise_s = e2e_s - decode_s
-
+    config = (f"{V}view-{F}f-{IMG}px-{args.steps}steps-"
+              + (f"ms{args.multistep}-acc{args.accumulate}-" if args.advanced else "")
+              + ("f32" if args.f32 else "bf16") + ("-tiny" if args.tiny else ""))
+    metric = ("advanced_videos_per_min_per_chip" if args.advanced
+              else "videos_per_min_per_chip")
     videos_per_min = V / e2e_s * 60.0
-    step_s = denoise_s / args.steps
     result = {
-        "metric": "videos_per_min_per_chip",
+        "metric": metric,
         "value": round(videos_per_min, 3),
         "unit": "videos/min",
         "vs_baseline": round(videos_per_min / 6.0, 3),
-        "e2e_seconds_2view": round(e2e_s, 3),
-        "unet_step_ms": round(step_s * 1000.0, 2),
-        "decode_seconds": round(decode_s, 3),
+        "e2e_seconds": round(e2e_s, 3),
         "compile_seconds": round(compile_s, 1),
         "init_seconds": round(init_s, 1),
-        "config": f"{V}view-{F}f-{IMG}px-{args.steps}steps-"
-                  f"{'f32' if args.f32 else 'bf16'}{'-tiny' if args.tiny else ''}",
+        "config": config,
     }
+    # partial emission: if the decode timing / MFU accounting below dies at
+    # a driver timeout, this line is already parsable
+    _emit(dict(result, partial=True))
+
+    # UNet step time = (e2e - VAE decode) / UNet calls. Decode is timed with
+    # a small decode-only program instead of recompiling the whole pipeline
+    # without decode (saves a second ~200 s full-UNet server compile); the
+    # residual (CLIP/pose/scheduler/dispatch) is charged to the step, so
+    # unet_step_ms is an upper bound (noted in the JSON as step_ms_includes).
+    _note("compiling decode-only variant")
+    decode_s = _time_decode(modules, dtype, V, args.frames, args.size // 8)
+    ncalls = args.steps * (args.multistep * args.accumulate if args.advanced else 1)
+    step_s = (e2e_s - decode_s) / ncalls
+    result.update({
+        "unet_step_ms": round(step_s * 1000.0, 2),
+        "unet_calls": ncalls,
+        "decode_seconds": round(decode_s, 3),
+        "step_ms_includes": "clip+pose+scheduler overhead (upper bound)",
+    })
     if not args.tiny:
         # achieved TFLOP/s + MFU of the denoise step (HLO-exact FLOP count
-        # from utils.flops, CPU-subprocess cached; v5e bf16 peak 197 TF/s)
+        # from utils.flops, CPU-subprocess cached; v5e bf16 peak 197 TF/s);
+        # batch per UNet call is 2V (views x CFG) in both pipelines
         from cvd_tpu.utils.flops import V5E_PEAK_BF16_FLOPS, cached_unet_flops
 
         flops = cached_unet_flops(2 * V, args.frames, args.size // 8,
@@ -211,16 +416,18 @@ def main():
             result["unet_step_tflops"] = round(flops / 1e12, 2)
             result["achieved_tflops_per_s"] = round(flops / step_s / 1e12, 1)
             result["mfu"] = round(flops / step_s / V5E_PEAK_BF16_FLOPS, 3)
-    print(json.dumps(result))
+    _emit(result)
 
 
 if __name__ == "__main__":
     try:
         main()
     except Exception as e:  # noqa: BLE001
-        # one retry: a freshly restarted TPU worker can fail/crash the
-        # first client after it (transient UNAVAILABLE/RESOURCE_EXHAUSTED
-        # over the remote tunnel)
-        _note(f"first attempt failed ({type(e).__name__}: {e}); retrying once")
+        # one retry, ONLY for transient backend failures (a freshly
+        # restarted TPU worker can fail/crash the first client after it);
+        # deterministic errors re-raise immediately with their traceback
+        if not _is_transient(e):
+            raise
+        _note(f"transient failure ({type(e).__name__}: {e}); retrying once")
         time.sleep(30)
         main()

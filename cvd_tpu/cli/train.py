@@ -284,6 +284,10 @@ def main(args):
 
     iters = [(kind, endless(loader), weight) for kind, loader, weight in loaders]
     steps_per_epoch = max(1, len(loaders[0][1]))
+    # in hybrid mode steps are drawn from multiple sources by weight, so
+    # "epoch" means passes over the PRIMARY (first) dataset: count its
+    # draws (seeded at global_step so resume keeps the epoch monotonic)
+    primary_draws = global_step
     do_sanity = cfg.get("do_sanity_check", True)
     sched_rng = random.Random(seed + 1)
 
@@ -299,6 +303,8 @@ def main(args):
                 acc += weight
                 if r < acc:
                     break
+        if it is iters[0][1]:
+            primary_draws += 1
         batch = next(it)
         t_data = time.time()
         texts = [
@@ -343,7 +349,7 @@ def main(args):
                 jax.device_get(state.params), epoch, global_step,
             )
             logger.info(f"saved checkpoint at step {global_step}")
-        epoch = global_step // steps_per_epoch
+        epoch = primary_draws // steps_per_epoch
     logger.info("training done")
 
 

@@ -1,18 +1,54 @@
-"""Host-side data loading: threaded prefetch + per-process sharding.
+"""Host-side data loading: prefetch workers + per-process sharding.
 
 Replaces the reference's DataLoader(num_workers=32) + DistributedSampler
-(train_epi_control.py:289-306): a thread pool maps __getitem__ while the
+(train_epi_control.py:289-306): a worker pool maps __getitem__ while the
 accelerator steps, and each JAX process takes a strided slice of the epoch
 permutation (the multi-host equivalent of DistributedSampler).
+
+Two worker types:
+  * ``thread``  — a ThreadPoolExecutor. Zero-copy and simple, but mp4/png
+    decode is Python/GIL-bound, so throughput tops out near one core.
+  * ``process`` — forked worker processes (the reference's num_workers=32
+    equivalent). Each worker inherits the dataset via fork and decodes on
+    its own core; samples return pickled through the pool. Workers must be
+    forked BEFORE any JAX backend touches the process if the dataset is
+    used alongside device code — the train CLI builds its loaders first.
+
+``scripts/loader_bench.py`` measures both against the train-step budget.
 """
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Iterator, Optional, Sequence
 
 import numpy as np
+
+# fork-inherited dataset for process workers (initargs would pickle it;
+# fork inheritance is free and keeps mmap'd/cached state shared)
+_FORK_DATASET = None
+
+
+def _process_worker_init(seed: int, counter):
+    """Reseed per-worker rngs so forked workers don't replay identical
+    augmentation/frame-sampling streams; worker ids come from a shared
+    counter so runs are reproducible (torch worker_init_fn parity)."""
+    import random
+
+    with counter.get_lock():
+        wid = counter.value
+        counter.value += 1
+    ds = _FORK_DATASET
+    wseed = seed * 1000 + wid
+    if hasattr(ds, "rng") and isinstance(getattr(ds, "rng"), random.Random):
+        ds.rng.seed(wseed)
+    np.random.seed(wseed % (2**32))
+
+
+def _process_worker_get(i: int):
+    return _FORK_DATASET[int(i)]
 
 
 def shard_indices(
@@ -58,7 +94,10 @@ class DataLoader:
         process_index: int = 0,
         process_count: int = 1,
         collate: Callable = _stack_batch,
+        worker_type: str = "thread",
     ):
+        if worker_type not in ("thread", "process"):
+            raise ValueError(f"worker_type {worker_type!r}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -68,11 +107,38 @@ class DataLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.collate = collate
+        self.worker_type = worker_type
+
         self.epoch = 0
 
     def __len__(self) -> int:
         per_proc = len(self.dataset) // self.process_count
         return per_proc // self.batch_size
+
+    def _map_batches(self, batches, q, stop):
+        if self.worker_type == "process":
+            import multiprocessing
+
+            global _FORK_DATASET
+            _FORK_DATASET = self.dataset
+            ctx = multiprocessing.get_context("fork")
+            counter = ctx.Value("i", 0)
+            with ctx.Pool(
+                self.num_workers, initializer=_process_worker_init,
+                initargs=(self.seed + self.epoch, counter),
+            ) as pool:
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    samples = pool.map(_process_worker_get, list(b))
+                    q.put(self.collate(samples))
+        else:
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for b in batches:
+                    if stop.is_set():
+                        return
+                    samples = list(pool.map(self.dataset.__getitem__, b))
+                    q.put(self.collate(samples))
 
     def __iter__(self) -> Iterator[dict]:
         idx = shard_indices(
@@ -86,13 +152,11 @@ class DataLoader:
         stop = threading.Event()
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in batches:
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(self.dataset.__getitem__, b))
-                    q.put(self.collate(samples))
-            q.put(None)
+            try:
+                self._map_batches(batches, q, stop)
+                q.put(None)
+            except BaseException as e:  # noqa: BLE001 - re-raised in consumer
+                q.put(e)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
@@ -101,6 +165,8 @@ class DataLoader:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

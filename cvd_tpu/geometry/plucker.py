@@ -3,21 +3,20 @@
 Re-derivation of ``ray_condition`` (reference
 ``animatediff/data/dataset_train_realestate10k.py:168-210``): per-pixel ray
 origin/direction from intrinsics + c2w pose, packed as ``[o x d, d]``.
+
+Backend-generic (geometry/_xp.py): numpy inputs -> numpy math, so dataset
+worker processes never touch JAX; JAX inputs/tracers -> jnp math.
 """
 from __future__ import annotations
 
 from typing import Optional
 
-import jax.numpy as jnp
+import numpy as np
+
+from cvd_tpu.geometry._xp import array_namespace, einsum
 
 
-def ray_condition(
-    K: jnp.ndarray,
-    c2w: jnp.ndarray,
-    H: int,
-    W: int,
-    flip_flag: Optional[jnp.ndarray] = None,
-) -> jnp.ndarray:
+def ray_condition(K, c2w, H: int, W: int, flip_flag: Optional[object] = None):
     """Plücker embedding of the camera rays.
 
     Args:
@@ -29,34 +28,35 @@ def ray_condition(
     Returns:
       [B, V, H, W, 6] — ``concat(o x d, d)`` with unit-norm d.
     """
+    xp = array_namespace(K, c2w, flip_flag)
     dtype = c2w.dtype
     B, V = K.shape[:2]
-    j = jnp.arange(H, dtype=dtype) + 0.5  # pixel-centre rows
-    i = jnp.arange(W, dtype=dtype) + 0.5  # pixel-centre cols
-    jj, ii = jnp.meshgrid(j, i, indexing="ij")  # [H, W]
+    j = xp.arange(H, dtype=dtype) + 0.5  # pixel-centre rows
+    i = xp.arange(W, dtype=dtype) + 0.5  # pixel-centre cols
+    jj, ii = xp.meshgrid(j, i, indexing="ij")  # [H, W]
     ii = ii.reshape(1, 1, H * W)
     jj = jj.reshape(1, 1, H * W)
     if flip_flag is not None:
         ii_flip = (W - 1 - (ii - 0.5)) + 0.5
-        flip = jnp.asarray(flip_flag).reshape(1, V, 1)
-        ii = jnp.where(flip, ii_flip, ii)
-    ii = jnp.broadcast_to(ii, (B, V, H * W))
-    jj = jnp.broadcast_to(jj, (B, V, H * W))
+        flip = xp.asarray(flip_flag).reshape(1, V, 1)
+        ii = xp.where(flip, ii_flip, ii)
+    ii = xp.broadcast_to(ii, (B, V, H * W))
+    jj = xp.broadcast_to(jj, (B, V, H * W))
 
-    fx, fy, cx, cy = jnp.split(K, 4, axis=-1)  # each [B, V, 1]
-    zs = jnp.ones_like(ii)
+    fx, fy, cx, cy = [K[..., k : k + 1] for k in range(4)]  # each [B, V, 1]
+    zs = xp.ones_like(ii)
     xs = (ii - cx) / fx
     ys = (jj - cy) / fy
-    directions = jnp.stack([xs, ys, zs], axis=-1)  # [B, V, HW, 3]
-    directions = directions / jnp.linalg.norm(directions, axis=-1, keepdims=True)
+    directions = xp.stack([xs, ys, zs], axis=-1)  # [B, V, HW, 3]
+    directions = directions / xp.linalg.norm(directions, axis=-1, keepdims=True)
 
-    rays_d = jnp.einsum("bvnk,bvjk->bvnj", directions, c2w[..., :3, :3], precision="highest")
-    rays_o = jnp.broadcast_to(c2w[..., None, :3, 3], rays_d.shape)
-    rays_dxo = jnp.cross(rays_o, rays_d)
-    plucker = jnp.concatenate([rays_dxo, rays_d], axis=-1)
+    rays_d = einsum(xp, "bvnk,bvjk->bvnj", directions, c2w[..., :3, :3])
+    rays_o = xp.broadcast_to(c2w[..., None, :3, 3], rays_d.shape)
+    rays_dxo = xp.cross(rays_o, rays_d)
+    plucker = xp.concatenate([rays_dxo, rays_d], axis=-1)
     return plucker.reshape(B, V, H, W, 6)
 
 
-def plucker_embedding(K: jnp.ndarray, c2w: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+def plucker_embedding(K, c2w, H: int, W: int):
     """Unbatched convenience: K [V,4], c2w [V,4,4] -> [V, H, W, 6]."""
     return ray_condition(K[None], c2w[None], H, W)[0]

@@ -235,7 +235,12 @@ class LayerNormParams(nn.Module):
 
 def fused_matmul(x: jnp.ndarray, kernels, dtype) -> Tuple[jnp.ndarray, ...]:
     """x @ concat(kernels) split back per kernel. The concat is
-    loop-invariant so XLA hoists it out of sampling scans (one-time cost)."""
+    loop-invariant so XLA hoists it out of sampling scans (one-time cost).
+
+    x is cast to ``dtype`` like the nn.Dense(dtype=...) calls this replaces
+    — otherwise an f32 activation meeting bf16 weights silently promotes
+    the matmul and everything downstream back to f32."""
+    x = x.astype(dtype)
     w = jnp.concatenate([k.astype(dtype) for k in kernels], axis=1)
     out = jnp.dot(
         x, w,

@@ -233,3 +233,125 @@ def test_remote_datasets_stream_via_file_urls(mp4_root, tmp_path):
     assert witem["pixel_values"].shape == (4, 32, 32, 3)
     assert witem["H_mats"].shape == (4, 3, 3)
     assert witem["warped_masks"].shape == (4, 4, 4, 1)
+
+
+def test_remote_fetch_retries_resumes_and_auths(tmp_path, monkeypatch):
+    """Transport hardening of data.remote._fetch: one transient failure
+    then success (bounded backoff), partial-download resume via Range,
+    auth headers from the environment, and no retry on a hard 404."""
+    import io
+    import urllib.error
+    import urllib.request
+    from unittest import mock
+
+    from cvd_tpu.data import remote as R
+
+    monkeypatch.setattr(R, "BACKOFF_SECONDS", 0.01)
+    payload = b"0123456789abcdef"
+    seen = []
+
+    class FakeResponse(io.BytesIO):
+        def __init__(self, data, status=200):
+            super().__init__(data)
+            self.status = status
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    # 1) transient URLError once, then success
+    calls = {"n": 0}
+
+    def flaky(req, *a, **kw):
+        seen.append(dict(req.header_items()))
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise urllib.error.URLError("connection reset")
+        return FakeResponse(payload)
+
+    dest = tmp_path / "a.bin"
+    monkeypatch.setenv("CVD_TPU_REMOTE_TOKEN", "sekrit")
+    with mock.patch.object(urllib.request, "urlopen", flaky):
+        out = R._fetch("https://example.com/a.bin", str(dest))
+    assert open(out, "rb").read() == payload
+    assert calls["n"] == 2
+    # auth header rode along on every attempt
+    assert all(h.get("Authorization") == "Bearer sekrit" for h in seen)
+
+    # 2) partial .tmp resumes with a Range header and appends
+    dest2 = tmp_path / "b.bin"
+    (tmp_path / "b.bin.tmp").write_bytes(payload[:6])
+    seen.clear()
+
+    def ranged(req, *a, **kw):
+        seen.append(dict(req.header_items()))
+        assert req.headers.get("Range") == "bytes=6-"
+        return FakeResponse(payload[6:], status=206)
+
+    with mock.patch.object(urllib.request, "urlopen", ranged):
+        out2 = R._fetch("https://example.com/b.bin", str(dest2))
+    assert open(out2, "rb").read() == payload
+
+    # 3) hard 404 raises immediately, no retries
+    calls404 = {"n": 0}
+
+    def missing(req, *a, **kw):
+        calls404["n"] += 1
+        raise urllib.error.HTTPError(req.full_url, 404, "nope", {}, None)
+
+    with mock.patch.object(urllib.request, "urlopen", missing):
+        with pytest.raises(urllib.error.HTTPError):
+            R._fetch("https://example.com/missing.bin", str(tmp_path / "c"))
+    assert calls404["n"] == 1
+
+
+def test_remote_dataset_indexes_incrementally(mp4_root, tmp_path):
+    """New clips append to ONE local dataset index (advisor r2: no O(N^2)
+    rebuild, no rng reseed when a clip arrives mid-epoch)."""
+    from cvd_tpu.data.remote import RealEstate10KPoseFoldedRemote
+
+    with open(os.path.join(mp4_root, "RealEstate10K", "train", "index.txt"),
+              "w") as f:
+        f.write("vidA\nvidB\n")
+    ds = RealEstate10KPoseFoldedRemote(
+        base_url="file://" + mp4_root, cache_dir=str(tmp_path / "cache"),
+        sample_stride=1, sample_n_frames=2, sample_size=32, seed=0,
+    )
+    local = ds._local
+    rng = local.rng
+    _ = ds[0]
+    _ = ds[1]
+    # same local dataset object and rng throughout; index grew in place
+    assert ds._local is local and local.rng is rng
+    assert [e["clip_name"] for e in local.dataset] == ["vidA", "vidB"]
+    # cached second pass hits the same entries without re-indexing
+    n_before = len(local.dataset)
+    _ = ds[0]
+    assert len(local.dataset) == n_before
+
+
+def test_loader_process_workers(fake_root):
+    """worker_type='process' (the reference's num_workers=32 decode-process
+    equivalent): forked workers serve identical content to thread workers,
+    and producer exceptions propagate instead of hanging the consumer."""
+    ds = RealEstate10KPoseFolded(fake_root, sample_n_frames=4, sample_size=32,
+                                 seed=2)
+    dl = DataLoader(ds, batch_size=2, shuffle=True, seed=7, num_workers=2,
+                    worker_type="process")
+    batch = next(iter(dl))
+    assert batch["pixel_values"].shape == (2, 8, 32, 32, 3)
+    assert np.isfinite(batch["pixel_values"]).all()
+    assert isinstance(batch["text"], list) and len(batch["text"]) == 2
+
+    class Broken:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise ValueError("boom")
+
+    with pytest.raises(ValueError, match="boom"):
+        next(iter(DataLoader(Broken(), batch_size=2, num_workers=2,
+                             worker_type="process")))
