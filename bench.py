@@ -298,6 +298,9 @@ def main():
     p.add_argument("--accumulate", type=int, default=1,
                    help="accumulate_step (reference 6-view config: "
                         "--multistep 6 --accumulate 2)")
+    p.add_argument("--acc-batched", action="store_true",
+                   help="run accumulate pairings as ONE UNet call at batch "
+                        "2V*acc instead of an inner scan (A/B experiment)")
     p.add_argument("--train", action="store_true",
                    help="bench one full training iteration instead")
     p.add_argument("--warm-only", action="store_true",
@@ -328,7 +331,8 @@ def main():
     if args.advanced:
         from cvd_tpu.pipelines.advanced import AdvancedPipeline
 
-        pipe_a = AdvancedPipeline(modules, F_mat_size=IMG)
+        pipe_a = AdvancedPipeline(modules, F_mat_size=IMG,
+                                  accumulate_batched=args.acc_batched)
         # the advanced jit donates the plucker buffer; ship a fresh
         # device-side copy per call so repeats don't hit a deleted buffer
         run = lambda key: pipe_a(

@@ -46,15 +46,22 @@ class AdvancedPipeline:
     def __init__(self, modules: PipelineModules, F_mat_size: int = 256,
                  rand_slope_ff: bool = True, mono_direction: bool = False,
                  fix_firstframe: bool = False,
-                 use_flash_kernel: Optional[bool] = None, mesh=None):
+                 use_flash_kernel: Optional[bool] = None, mesh=None,
+                 accumulate_batched: bool = False):
         """mesh: optional ("rows", "frames") mesh (parallel.inference_mesh)
         sharding the 2V CFG rows + frame axis; sharded runs use the XLA epi
-        path (the Pallas kernel is single-device)."""
+        path (the Pallas kernel is single-device).
+
+        accumulate_batched: run the accumulate_step pairings as ONE UNet
+        call at batch 2V*acc (each group with its own pairing/F-mats/kv
+        routing) instead of an inner lax.scan — trades activation HBM for
+        fewer, larger MXU launches. N-view (c2w) path only."""
         self.m = modules
         self.F_mat_size = F_mat_size
         self.rand_slope_ff = rand_slope_ff
         self.mono_direction = mono_direction
         self.fix_firstframe = fix_firstframe
+        self.accumulate_batched = accumulate_batched
         if use_flash_kernel is None:
             use_flash_kernel = jax.default_backend() == "tpu"
         self.use_flash_kernel = use_flash_kernel
@@ -208,6 +215,54 @@ class AdvancedPipeline:
             )
             return eps[0::2] + guidance_scale * (eps[1::2] - eps[0::2])
 
+        def guided_eps_batched(lat, t, key):
+            """accumulate_step pairings in ONE UNet call at batch 2V*acc:
+            group g gets its own pairing/F-mats, kv routing offset into its
+            own 2VF row block. Same per-group keys as the scan path, so the
+            sampled pairings are identical between the two variants."""
+            A = accumulate_step
+            n_rows = 2 * V * F
+            keys = jax.random.split(key, A)
+            conds = []
+            slope_key = None
+            for g in range(A):
+                pair_key, slope_key = jax.random.split(keys[g])
+                conds.append(make_cond(pair_key))
+            cond_t = EpiConditioning(
+                F_mats=jnp.concatenate([c.F_mats for c in conds], axis=0),
+                kv_index=jnp.concatenate(
+                    [conds[g].kv_index + g * n_rows for g in range(A)], axis=0
+                ),
+                video_length=F, F_mat_size=self.F_mat_size,
+                rand_slope_ff=self.rand_slope_ff, cfg_factor=2,
+                mono_direction=self.mono_direction,
+                fix_firstframe=self.fix_firstframe,
+                use_flash_kernel=self.use_flash_kernel,
+            )
+            lat_in = m.scheduler.scale_model_input(interleave_cfg(lat), t)
+            lat_in = jnp.tile(lat_in, (A,) + (1,) * (lat_in.ndim - 1))
+            lat_in = constrain(lat_in, self.mesh, "rows", "frames")
+            text_b = jnp.tile(text, (A, 1, 1))
+            pf = [
+                constrain(
+                    jnp.tile(interleave_cfg(p), (A,) + (1,) * (p.ndim - 1)),
+                    self.mesh, "rows", "frames",
+                )
+                for p in pose_feats
+            ]
+            eps, _ = m.unet.apply(
+                params["unet"], lat_in, t, text_b, pf, cond_t,
+                rngs={"epi_slope": slope_key},
+            )
+            eps = eps.reshape((A, 2 * V) + eps.shape[1:])
+            g_eps = eps[:, 0::2] + guidance_scale * (eps[:, 1::2] - eps[:, 0::2])
+            return g_eps.astype(jnp.float32).sum(axis=0)
+
+        use_batched_acc = (
+            self.accumulate_batched and accumulate_step > 1
+            and c2w is not None and H_mats is None and F_mats is None
+        )
+
         n_steps = len(sched_state.timesteps)
 
         def timestep_body(carry, scan_in):
@@ -224,6 +279,8 @@ class AdvancedPipeline:
                     k, acc_key = jax.random.split(k)
                     if accumulate_step == 1:
                         eps_sum = guided_eps(lat_mt, t, acc_key)
+                    elif use_batched_acc:
+                        eps_sum = guided_eps_batched(lat_mt, t, acc_key)
                     else:
                         # scan over pairings so the UNet body is traced ONCE
                         # regardless of accumulate_step: a Python loop

@@ -219,3 +219,30 @@ def test_simple_pipeline_sharded_kernels_match_xla():
     )(ids, neg, plucker, F_mats, **kw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_advanced_accumulate_batched_matches_scan(modules, prompts):
+    """accumulate_batched=True (one UNet call at batch 2V*acc) must produce
+    the same latents as the inner-scan path: identical per-group pairings
+    (same key schedule), deterministic slopes (rand_slope_ff=False)."""
+    V = 4
+    c2ws = G.circle_trajectory(V, F_FRAMES, camera_dist=0.3)
+    K = default_intrinsics(V, F_FRAMES, IMG, IMG)
+    intr = np.stack([K[:, 0, 0], K[:, 1, 1], K[:, 0, 2], K[:, 1, 2]], -1)
+    plucker = G.ray_condition(
+        jnp.asarray(intr, jnp.float32)[None], jnp.asarray(c2ws, jnp.float32)[None],
+        IMG, IMG,
+    )[0].reshape(V, F_FRAMES, IMG, IMG, 6)
+    ids, neg = prompts
+    kw = dict(
+        c2w=jnp.asarray(c2ws, jnp.float32), K_mats=jnp.asarray(K, jnp.float32),
+        num_inference_steps=2, multistep=2, accumulate_step=2,
+        rng=jax.random.key(5), decode=False,
+    )
+    lat_scan = AdvancedPipeline(modules, rand_slope_ff=False)(
+        ids, neg, jnp.copy(plucker), **kw)
+    lat_batched = AdvancedPipeline(
+        modules, rand_slope_ff=False, accumulate_batched=True
+    )(ids, neg, jnp.copy(plucker), **kw)
+    np.testing.assert_allclose(
+        np.asarray(lat_batched), np.asarray(lat_scan), rtol=2e-4, atol=2e-4)
