@@ -139,11 +139,12 @@ def _build_modules(args, dtype):
         vae_cfg = VAEConfig(dtype=dtype)
         clip_cfg = CLIPTextConfig()
 
-    _note("building modules (random weights)")
+    _note("building modules (random weights, host fast-init)")
     t0 = time.time()
     modules = PipelineModules.create(
         unet_config=unet_cfg, vae_config=vae_cfg, clip_config=clip_cfg,
         latent_size=args.size // 8, video_length=args.frames,
+        fast_init=True,
     )
     if not args.f32 and not args.train:
         # bf16 weights, matching the CLIs' --bf16 deployment: halves the

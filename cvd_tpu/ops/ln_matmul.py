@@ -123,12 +123,20 @@ def _fused_ln_mm_bwd(eps, interpret, res, g):
 _fused_ln_mm.defvjp(_fused_ln_mm_fwd, _fused_ln_mm_bwd)
 
 
+def _min_bytes() -> int:
+    """Compile-diet knob (see ops/norms.py): raise to gate small/rare
+    shapes to the XLA LN-then-matmul path and cut Mosaic compile count."""
+    import os
+
+    return int(os.environ.get("CVD_TPU_LNMM_MIN_BYTES", 2 * 1024 * 1024))
+
+
 def _fits_kernel(T: int, C: int, K: int, itemsize: int, force: bool) -> bool:
     return (
         T % 8 == 0
         and C % 128 == 0 and K % 128 == 0
         and C * itemsize <= 64 * 1024     # one row tile spans full C
-        and (force or T * C * itemsize >= 2 * 1024 * 1024)
+        and (force or T * C * itemsize >= _min_bytes())
     )
 
 

@@ -117,6 +117,17 @@ def _kernel_call(x3, gamma, beta, groups, eps, act, interpret):
     )(x3, gamma, beta)
 
 
+def _min_bytes() -> int:
+    """Compile-diet experiment knob: every unique (R, S, C) Mosaic instance
+    costs remote compile time (~66 instances across the e2e pipeline, most
+    tiny x1 skip-concat oddballs). Raising this gates small shapes to the
+    XLA reference (identical math, negligible step-time delta) in exchange
+    for fewer Mosaic compiles. Measured default baked after the TPU A/B."""
+    import os
+
+    return int(os.environ.get("CVD_TPU_GN_MIN_BYTES", _MIN_BYTES))
+
+
 def _fits_kernel(x3, groups: int, force: bool) -> bool:
     R, S, C = x3.shape
     bytes_total = R * S * C * x3.dtype.itemsize
@@ -128,7 +139,7 @@ def _fits_kernel(x3, groups: int, force: bool) -> bool:
         and S * C * x3.dtype.itemsize <= 2 * _BLOCK_BYTES  # one row per block
         # narrow-C tiles pad to 128 lanes and can spill (tiny smoke models):
         # production channel counts (>=128) only, unless forced for tests
-        and (force or (C >= 128 and bytes_total >= _MIN_BYTES))
+        and (force or (C >= 128 and bytes_total >= _min_bytes()))
     )
 
 

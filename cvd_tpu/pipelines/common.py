@@ -85,9 +85,61 @@ class PipelineModules:
         rng: Optional[jax.Array] = None,
         latent_size: int = 32,
         video_length: int = 16,
+        fast_init: bool = False,
     ) -> "PipelineModules":
-        """Random-init bundle (weights loaded separately via cvd_tpu.io)."""
+        """Random-init bundle (weights loaded separately via cvd_tpu.io).
+
+        fast_init=True skips the device-side flax init entirely: parameter
+        SHAPES come from jax.eval_shape (no compile, no device op) and
+        values are host-generated scaled gaussians shipped once. For
+        benchmarking and smoke runs — per-param init distributions are NOT
+        flax-faithful (timing and FLOPs are weight-independent). Cuts
+        bundle init from ~38 s (remote-TPU jit init) to host memcpy time.
+        """
         from cvd_tpu.models.epi import EpiConditioning
+
+        if fast_init:
+            shapes = abstract_param_shapes(
+                unet_config=unet_config, vae_config=vae_config,
+                clip_config=clip_config,
+                pose_encoder_kwargs=pose_encoder_kwargs,
+                latent_size=latent_size, video_length=video_length,
+            )
+            import numpy as np
+
+            host_rng = np.random.default_rng(0)
+
+            def materialize(tree):
+                leaves, treedef = jax.tree_util.tree_flatten(tree)
+                out = []
+                for s in leaves:
+                    if jnp.issubdtype(s.dtype, jnp.floating):
+                        # fan-in-scaled so activations stay O(1) at depth;
+                        # uniform f32 (3-4x faster host gen than gaussian,
+                        # distribution is irrelevant for timing/FLOPs)
+                        fan = s.shape[-2] if len(s.shape) >= 2 else max(s.shape[-1], 1)
+                        scale = float(3.0 ** 0.5 / np.sqrt(fan))  # unit var
+                        arr = (host_rng.random(s.shape, dtype=np.float32)
+                               * (2 * scale) - scale).astype(s.dtype)
+                    else:
+                        arr = np.zeros(s.shape, s.dtype)
+                    out.append(jnp.asarray(arr))
+                return jax.tree_util.tree_unflatten(treedef, out)
+
+            unet_config = unet_config or UNetConfig()
+            vae_config = vae_config or VAEConfig()
+            clip_config = clip_config or CLIPTextConfig()
+            pe_kwargs = dict(pose_encoder_kwargs or {})
+            pe_kwargs.setdefault("dtype", unet_config.dtype)
+            return cls(
+                UNet3DConditionModel(unet_config), AutoencoderKL(vae_config),
+                CLIPTextEncoder(clip_config),
+                CameraPoseEncoder(channels=unet_config.block_out_channels,
+                                  **pe_kwargs),
+                scheduler or DDIMScheduler(),
+                materialize(shapes["unet"]), materialize(shapes["vae"]),
+                materialize(shapes["clip"]), materialize(shapes["pose"]),
+            )
 
         unet_config = unet_config or UNetConfig()
         vae_config = vae_config or VAEConfig()
