@@ -103,20 +103,38 @@ def _emit(obj):
     print(json.dumps(obj), flush=True)
 
 
-def _init_backend():
-    """Import jax and run one tiny device op under the watchdog."""
-    with _watchdog(INIT_WATCHDOG_SECONDS, "backend init + first device op"):
-        import jax
-        import jax.numpy as jnp
+def _init_backend(budget_s: float = 420.0):
+    """Import jax and run one tiny device op under the watchdog.
 
-        t0 = time.time()
-        dev = jax.devices()
-        x = jnp.ones((256, 256))
-        _sync(x @ x)
-        _note(
-            f"backend {jax.default_backend()} ({len(dev)} device(s)) healthy "
-            f"in {time.time() - t0:.1f}s"
-        )
+    A wedged TPU worker sometimes recovers within minutes; retry the CHEAP
+    health op on a bounded budget (~10 min) instead of either hanging the
+    driver's whole window (round-2 failure mode) or giving up after one
+    shot. Heavy work starts only after a healthy first op."""
+    deadline = time.time() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            with _watchdog(INIT_WATCHDOG_SECONDS,
+                           "backend init + first device op"):
+                import jax
+                import jax.numpy as jnp
+
+                t0 = time.time()
+                dev = jax.devices()
+                x = jnp.ones((256, 256))
+                _sync(x @ x)
+                _note(
+                    f"backend {jax.default_backend()} ({len(dev)} device(s)) "
+                    f"healthy in {time.time() - t0:.1f}s"
+                )
+                return
+        except Exception as e:  # noqa: BLE001
+            if not _is_transient(e) or time.time() + 60 > deadline:
+                raise
+            _note(f"health check failed ({type(e).__name__}: {e}); "
+                  f"attempt {attempt}, retrying in 60s")
+            time.sleep(60)
 
 
 def _build_modules(args, dtype):
