@@ -1,0 +1,44 @@
+#!/bin/bash
+# Ordered TPU measurement queue for a freshly healthy tunnel.
+# Each step is independently time-bounded and logs to $OUT; a failure moves
+# on to the next step (a wedged tunnel should not strand the whole queue).
+# Usage: scripts/tpu_measure.sh [outdir]
+set -u
+OUT=${1:-/tmp/tpu_measure}
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+
+run() { # name timeout cmd...
+  local name=$1 t=$2; shift 2
+  echo "=== $name ($(date -u +%H:%M:%S)) ===" | tee -a "$OUT/queue.log"
+  timeout "$t" "$@" >"$OUT/$name.out" 2>"$OUT/$name.err"
+  echo "rc=$? $(tail -c 300 "$OUT/$name.out" | tr '\n' ' ')" | tee -a "$OUT/queue.log"
+}
+
+# 0. health (cheap; bail out early if the tunnel is wedged)
+timeout 240 python -c "
+import jax, jax.numpy as jnp, numpy as np
+x = jnp.ones((256, 256)); print('ok', np.asarray((x @ x)[0, 0]))
+" >"$OUT/health.out" 2>&1 || { echo "tunnel unhealthy, aborting" | tee -a "$OUT/queue.log"; exit 1; }
+echo "health ok" | tee -a "$OUT/queue.log"
+
+# 1. simple bench (warms the persistent cache; full driver metric)
+run bench_simple 3000 python bench.py
+# 2. train iteration
+run bench_train 3000 python bench.py --train --repeats 3
+# 3. 6-view single-chip validation (driver config #5)
+run bench_6view 3600 python bench.py --advanced --views 6 --multistep 6 --accumulate 2 --repeats 1
+# 4. accumulate A/B at 4 views
+run bench_acc_scan 3000 python bench.py --advanced --views 4 --multistep 3 --accumulate 2 --repeats 2
+run bench_acc_batched 3000 python bench.py --advanced --views 4 --multistep 3 --accumulate 2 --acc-batched --repeats 2
+# 5. compile split + step profile
+run stage_timing 2400 python scripts/stage_timing.py
+run step_profile 2400 python scripts/step_profile.py
+# 6. compile-diet A/B: fresh-process cold(ish) compiles with gated Mosaic
+run warm_default 2400 python bench.py --warm-only
+run warm_gated 2400 env CVD_TPU_GN_MIN_BYTES=8388608 \
+  CVD_TPU_LNMM_MIN_BYTES=8388608 python bench.py --warm-only
+run bench_gated 3000 env CVD_TPU_GN_MIN_BYTES=8388608 \
+  CVD_TPU_LNMM_MIN_BYTES=8388608 python bench.py
+
+echo "queue done ($(date -u +%H:%M:%S))" | tee -a "$OUT/queue.log"
