@@ -393,7 +393,8 @@ def main():
     e2e_s = float(np.median(times))
 
     config = (f"{V}view-{F}f-{IMG}px-{args.steps}steps-"
-              + (f"ms{args.multistep}-acc{args.accumulate}-" if args.advanced else "")
+              + (f"ms{args.multistep}-acc{args.accumulate}"
+                 + ("b-" if args.acc_batched else "-") if args.advanced else "")
               + ("f32" if args.f32 else "bf16") + ("-tiny" if args.tiny else ""))
     metric = ("advanced_videos_per_min_per_chip" if args.advanced
               else "videos_per_min_per_chip")
