@@ -143,17 +143,19 @@ def _build_modules(args, dtype):
     from cvd_tpu.models.vae import VAEConfig
     from cvd_tpu.pipelines.common import PipelineModules
 
+    scan_layers = getattr(args, "scan_layers", False)
     if args.tiny:
         unet_cfg = UNetConfig(
             block_out_channels=(32, 64, 64, 64), attention_heads=4,
             cross_attention_dim=24, norm_num_groups=8, dtype=dtype,
+            scan_identical_layers=scan_layers,
         )
         vae_cfg = VAEConfig(block_out_channels=(32, 32, 64, 64),
                             norm_num_groups=8, dtype=dtype)
         clip_cfg = CLIPTextConfig(hidden_size=24, num_layers=2, num_heads=4,
                                   intermediate_size=48)
     else:
-        unet_cfg = UNetConfig(dtype=dtype)
+        unet_cfg = UNetConfig(dtype=dtype, scan_identical_layers=scan_layers)
         vae_cfg = VAEConfig(dtype=dtype)
         clip_cfg = CLIPTextConfig()
 
@@ -322,6 +324,10 @@ def main():
                         "2V*acc instead of an inner scan (A/B experiment)")
     p.add_argument("--train", action="store_true",
                    help="bench one full training iteration instead")
+    p.add_argument("--scan-layers", action="store_true",
+                   help="UNetConfig.scan_identical_layers: dedup identical "
+                        "UNet layers into lax.scan bodies (compile-time "
+                        "A/B; costs ~1 GB resident HBM in stacked params)")
     p.add_argument("--warm-only", action="store_true",
                    help="build + compile + exit: warms the persistent XLA "
                         "cache after kernel changes so the next (driver) "

@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -79,6 +80,15 @@ class UNetConfig:
     fuse_first_frame: bool = False
     # auxiliary q/k output channels for the epipolar training loss
     additional_channel: int = 0
+    # compile-time dedup: at APPLY time, consecutive layers whose parameter
+    # shapes are identical (down block 0, plain down block 3, and the
+    # equal-skip runs of the up blocks) run as ONE lax.scan body over
+    # trace-time-stacked params instead of being traced/compiled per layer.
+    # The param tree and checkpoint import are UNCHANGED (init stays
+    # unrolled); outputs are bit-identical (test_unet_scan_layers_*). Cost:
+    # the stacked param copies are extra resident HBM (~the deduped subset
+    # again), so keep this off for memory-tight runs (6-view single chip).
+    scan_identical_layers: bool = False
     # recompute block activations in the backward pass (jax.checkpoint per
     # UNet block). Full-size training at 16f/256px needs ~19 GB of saved
     # activations without it — over a v5e chip's 16 GB HBM.
@@ -108,6 +118,37 @@ def _lora_rank(cfg: UNetConfig, channels: int) -> int:
     return 0
 
 
+def _stack_layer_params(params, roles, js):
+    """[{role: params[f'{prefix}_{j}'] for j in js}] stacked leaf-wise.
+
+    The stack is loop-invariant w.r.t. the sampling scan, so XLA hoists it
+    out (a one-time copy); gradients flow back through stack->slice."""
+    per = [
+        {role: params[f"{prefix}_{j}"] for role, prefix in roles.items()}
+        for j in js
+    ]
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per)
+
+
+def _unstack_aux(aux_stacked, n) -> List[dict]:
+    """scan-stacked aux pytrees -> flat per-layer list (layer-major, same
+    order the unrolled loop's ``aux += a`` produces)."""
+    out: List[dict] = []
+    for j in range(n):
+        for d in aux_stacked:
+            out.append(jax.tree_util.tree_map(lambda v: v[j], d))
+    return out
+
+
+def _scan_keys(module, n):
+    """Per-layer 'epi_slope' keys for a detached scan body; a dummy key
+    array when the caller provided no rng (the epi module only draws when
+    rand_slope_ff needs it, so an unused rng is harmless)."""
+    if module.has_rng("epi_slope"):
+        return jax.random.split(module.make_rng("epi_slope"), n)
+    return jax.random.split(jax.random.key(0), n)
+
+
 class CrossAttnDownBlock(nn.Module):
     out_channels: int
     num_layers: int
@@ -118,6 +159,35 @@ class CrossAttnDownBlock(nn.Module):
     use_epi: bool
     cfg: UNetConfig
 
+    def _protos(self, temb_dim):
+        """Detached (parent=None) single-layer module defs for the scan
+        body; identical hyperparams to the named per-layer instances."""
+        cfg = self.cfg
+        resnet = ResnetBlock2D(self.out_channels, temb_dim,
+                               cfg.norm_num_groups, dtype=cfg.dtype,
+                               parent=None)
+        attn = Transformer2DModel(
+            self.out_channels, self.heads, self.out_channels // self.heads,
+            cross_attention_dim=self.cross_attention_dim,
+            extended_attention=cfg.spatial_extended_attention,
+            lora_rank=_lora_rank(cfg, self.out_channels),
+            groups=cfg.norm_num_groups, dtype=cfg.dtype, parent=None,
+        )
+        motion = TemporalTransformer(
+            self.out_channels, cfg.attention_heads,
+            cfg.motion_num_transformer_blocks, cfg.motion_num_attention_blocks,
+            cfg.motion_pe_max_len, cfg.pose_cond_attn_indices, cfg.pose_scale,
+            cfg.motion_norm_groups, cfg.motion_zero_initialize,
+            dtype=cfg.dtype, parent=None,
+        ) if self.use_motion else None
+        epi = EpiTransformer(
+            self.out_channels, cfg.attention_heads,
+            cfg.epi_num_transformer_blocks, cfg.epi_num_attention_blocks,
+            cfg.epi_norm_groups, cfg.epi_zero_initialize,
+            dtype=cfg.dtype, parent=None,
+        ) if self.use_epi else None
+        return resnet, attn, motion, epi
+
     @nn.compact
     def __call__(self, x, temb, context, pose_feature, epi_cond, lora_scale=1.0):
         cfg = self.cfg
@@ -126,37 +196,77 @@ class CrossAttnDownBlock(nn.Module):
         context_f = jnp.repeat(context, x.shape[1], axis=0)
         res_states: List[jnp.ndarray] = []
         aux: List[dict] = []
-        for j in range(self.num_layers):
-            h = _fold(x)
-            h = ResnetBlock2D(
-                self.out_channels, temb.shape[-1], cfg.norm_num_groups,
-                dtype=cfg.dtype, name=f"resnets_{j}",
-            )(h, temb_f)
-            h = Transformer2DModel(
-                self.out_channels, self.heads, self.out_channels // self.heads,
-                cross_attention_dim=self.cross_attention_dim,
-                extended_attention=cfg.spatial_extended_attention,
-                lora_rank=_lora_rank(cfg, self.out_channels),
-                groups=cfg.norm_num_groups, dtype=cfg.dtype, name=f"attentions_{j}",
-            )(h, context_f, lora_scale=lora_scale)
-            x = _unfold(h, B)
+
+        # layer dedup: when every layer has identical param shapes (possible
+        # only when the block's input channels already equal out_channels,
+        # i.e. down block 0), run the layers as ONE scan body
+        if (cfg.scan_identical_layers and not self.is_initializing()
+                and self.num_layers >= 2
+                and x.shape[-1] == self.out_channels):
+            roles = {"resnet": "resnets", "attn": "attentions"}
             if self.use_motion:
-                x = TemporalTransformer(
-                    self.out_channels, cfg.attention_heads,
-                    cfg.motion_num_transformer_blocks, cfg.motion_num_attention_blocks,
-                    cfg.motion_pe_max_len, cfg.pose_cond_attn_indices, cfg.pose_scale,
-                    cfg.motion_norm_groups, cfg.motion_zero_initialize,
-                    dtype=cfg.dtype, name=f"motion_modules_{j}",
-                )(x, pose_feature)
+                roles["motion"] = "motion_modules"
             if self.use_epi:
-                x, a = EpiTransformer(
-                    self.out_channels, cfg.attention_heads,
-                    cfg.epi_num_transformer_blocks, cfg.epi_num_attention_blocks,
-                    cfg.epi_norm_groups, cfg.epi_zero_initialize,
-                    dtype=cfg.dtype, name=f"epi_modules_{j}",
-                )(x, epi_cond)
-                aux += a
-            res_states.append(x)
+                roles["epi"] = "epi_modules"
+            stacked = _stack_layer_params(self.variables["params"], roles,
+                                          range(self.num_layers))
+            resnet_p, attn_p, motion_p, epi_p = self._protos(temb.shape[-1])
+            keys = _scan_keys(self, self.num_layers)
+
+            def body(xc, xs):
+                pj, kj = xs
+                h = _fold(xc)
+                h = resnet_p.apply({"params": pj["resnet"]}, h, temb_f)
+                h = attn_p.apply({"params": pj["attn"]}, h, context_f,
+                                 lora_scale=lora_scale)
+                xc = _unfold(h, B)
+                if motion_p is not None:
+                    xc = motion_p.apply({"params": pj["motion"]}, xc,
+                                        pose_feature)
+                a = ()
+                if epi_p is not None:
+                    xc, a_list = epi_p.apply({"params": pj["epi"]}, xc,
+                                             epi_cond,
+                                             rngs={"epi_slope": kj})
+                    a = tuple(a_list)
+                return xc, (xc, a)
+
+            x, (res_stacked, aux_stacked) = jax.lax.scan(
+                body, x, (stacked, keys))
+            res_states = [res_stacked[j] for j in range(self.num_layers)]
+            aux = _unstack_aux(aux_stacked, self.num_layers)
+        else:
+            for j in range(self.num_layers):
+                h = _fold(x)
+                h = ResnetBlock2D(
+                    self.out_channels, temb.shape[-1], cfg.norm_num_groups,
+                    dtype=cfg.dtype, name=f"resnets_{j}",
+                )(h, temb_f)
+                h = Transformer2DModel(
+                    self.out_channels, self.heads, self.out_channels // self.heads,
+                    cross_attention_dim=self.cross_attention_dim,
+                    extended_attention=cfg.spatial_extended_attention,
+                    lora_rank=_lora_rank(cfg, self.out_channels),
+                    groups=cfg.norm_num_groups, dtype=cfg.dtype, name=f"attentions_{j}",
+                )(h, context_f, lora_scale=lora_scale)
+                x = _unfold(h, B)
+                if self.use_motion:
+                    x = TemporalTransformer(
+                        self.out_channels, cfg.attention_heads,
+                        cfg.motion_num_transformer_blocks, cfg.motion_num_attention_blocks,
+                        cfg.motion_pe_max_len, cfg.pose_cond_attn_indices, cfg.pose_scale,
+                        cfg.motion_norm_groups, cfg.motion_zero_initialize,
+                        dtype=cfg.dtype, name=f"motion_modules_{j}",
+                    )(x, pose_feature)
+                if self.use_epi:
+                    x, a = EpiTransformer(
+                        self.out_channels, cfg.attention_heads,
+                        cfg.epi_num_transformer_blocks, cfg.epi_num_attention_blocks,
+                        cfg.epi_norm_groups, cfg.epi_zero_initialize,
+                        dtype=cfg.dtype, name=f"epi_modules_{j}",
+                    )(x, epi_cond)
+                    aux += a
+                res_states.append(x)
         if self.add_downsample:
             x = _unfold(Downsample2D(self.out_channels, dtype=cfg.dtype, name="downsamplers_0")(_fold(x)), B)
             res_states.append(x)
@@ -178,6 +288,60 @@ class DownBlock(nn.Module):
         temb_f = jnp.repeat(temb, x.shape[1], axis=0)
         res_states: List[jnp.ndarray] = []
         aux: List[dict] = []
+        if (cfg.scan_identical_layers and not self.is_initializing()
+                and self.num_layers >= 2
+                and x.shape[-1] == self.out_channels):
+            roles = {"resnet": "resnets"}
+            if self.use_motion:
+                roles["motion"] = "motion_modules"
+            if self.use_epi:
+                roles["epi"] = "epi_modules"
+            stacked = _stack_layer_params(self.variables["params"], roles,
+                                          range(self.num_layers))
+            resnet_p = ResnetBlock2D(self.out_channels, temb.shape[-1],
+                                     cfg.norm_num_groups, dtype=cfg.dtype,
+                                     parent=None)
+            motion_p = TemporalTransformer(
+                self.out_channels, cfg.attention_heads,
+                cfg.motion_num_transformer_blocks,
+                cfg.motion_num_attention_blocks,
+                cfg.motion_pe_max_len, cfg.pose_cond_attn_indices,
+                cfg.pose_scale, cfg.motion_norm_groups,
+                cfg.motion_zero_initialize, dtype=cfg.dtype, parent=None,
+            ) if self.use_motion else None
+            epi_p = EpiTransformer(
+                self.out_channels, cfg.attention_heads,
+                cfg.epi_num_transformer_blocks, cfg.epi_num_attention_blocks,
+                cfg.epi_norm_groups, cfg.epi_zero_initialize,
+                dtype=cfg.dtype, parent=None,
+            ) if self.use_epi else None
+            keys = _scan_keys(self, self.num_layers)
+
+            def body(xc, xs):
+                pj, kj = xs
+                xc = _unfold(
+                    resnet_p.apply({"params": pj["resnet"]}, _fold(xc),
+                                   temb_f), B)
+                if motion_p is not None:
+                    xc = motion_p.apply({"params": pj["motion"]}, xc,
+                                        pose_feature)
+                a = ()
+                if epi_p is not None:
+                    xc, a_list = epi_p.apply({"params": pj["epi"]}, xc,
+                                             epi_cond,
+                                             rngs={"epi_slope": kj})
+                    a = tuple(a_list)
+                return xc, (xc, a)
+
+            x, (res_stacked, aux_stacked) = jax.lax.scan(
+                body, x, (stacked, keys))
+            res_states = [res_stacked[j] for j in range(self.num_layers)]
+            aux = _unstack_aux(aux_stacked, self.num_layers)
+            if self.add_downsample:
+                x = _unfold(Downsample2D(self.out_channels, dtype=cfg.dtype,
+                                         name="downsamplers_0")(_fold(x)), B)
+                res_states.append(x)
+            return x, res_states, aux
         for j in range(self.num_layers):
             h = ResnetBlock2D(
                 self.out_channels, temb.shape[-1], cfg.norm_num_groups,
@@ -277,7 +441,9 @@ class CrossAttnUpBlock(nn.Module):
         temb_f = jnp.repeat(temb, x.shape[1], axis=0)
         context_f = jnp.repeat(context, x.shape[1], axis=0) if context is not None else None
         aux: List[dict] = []
-        for j in range(self.num_layers):
+
+        def one_layer(x, j):
+            """The original unrolled layer j (named submodules)."""
             res = res_states[-1 - j]
             x = jnp.concatenate([x, res], axis=-1)
             h = ResnetBlock2D(
@@ -308,7 +474,89 @@ class CrossAttnUpBlock(nn.Module):
                     cfg.epi_norm_groups, cfg.epi_zero_initialize,
                     dtype=cfg.dtype, name=f"epi_modules_{j}",
                 )(x, epi_cond)
-                aux += a
+                aux.extend(a)
+            return x
+
+        # per-layer resnet input channels: a consecutive run with equal
+        # input width (equal skip widths, since every layer outputs
+        # out_channels) has identical param shapes and can scan
+        in_chs = []
+        cur = x.shape[-1]
+        for j in range(self.num_layers):
+            in_chs.append(cur + res_states[-1 - j].shape[-1])
+            cur = self.out_channels
+
+        j = 0
+        scan_ok = cfg.scan_identical_layers and not self.is_initializing()
+        while j < self.num_layers:
+            k = j
+            while (scan_ok and k + 1 < self.num_layers
+                   and in_chs[k + 1] == in_chs[j]):
+                k += 1
+            group = list(range(j, k + 1))
+            if not scan_ok or len(group) < 2:
+                x = one_layer(x, j)
+                j += 1
+                continue
+            roles = {"resnet": "resnets"}
+            if self.has_attention:
+                roles["attn"] = "attentions"
+            if self.use_motion:
+                roles["motion"] = "motion_modules"
+            if self.use_epi:
+                roles["epi"] = "epi_modules"
+            stacked = _stack_layer_params(self.variables["params"], roles,
+                                          group)
+            skips = jnp.stack([res_states[-1 - g] for g in group])
+            resnet_p = ResnetBlock2D(self.out_channels, temb.shape[-1],
+                                     cfg.norm_num_groups, dtype=cfg.dtype,
+                                     parent=None)
+            attn_p = Transformer2DModel(
+                self.out_channels, self.heads, self.out_channels // self.heads,
+                cross_attention_dim=self.cross_attention_dim,
+                extended_attention=cfg.spatial_extended_attention,
+                lora_rank=_lora_rank(cfg, self.out_channels),
+                groups=cfg.norm_num_groups, dtype=cfg.dtype, parent=None,
+            ) if self.has_attention else None
+            motion_p = TemporalTransformer(
+                self.out_channels, cfg.attention_heads,
+                cfg.motion_num_transformer_blocks,
+                cfg.motion_num_attention_blocks,
+                cfg.motion_pe_max_len, cfg.pose_cond_attn_indices,
+                cfg.pose_scale, cfg.motion_norm_groups,
+                cfg.motion_zero_initialize, dtype=cfg.dtype, parent=None,
+            ) if self.use_motion else None
+            epi_p = EpiTransformer(
+                self.out_channels, cfg.attention_heads,
+                cfg.epi_num_transformer_blocks, cfg.epi_num_attention_blocks,
+                cfg.epi_norm_groups, cfg.epi_zero_initialize,
+                dtype=cfg.dtype, parent=None,
+            ) if self.use_epi else None
+            keys = _scan_keys(self, len(group))
+
+            def body(xc, xs):
+                pj, skip, kj = xs
+                xc = jnp.concatenate([xc, skip], axis=-1)
+                h = resnet_p.apply({"params": pj["resnet"]}, _fold(xc),
+                                   temb_f)
+                if attn_p is not None:
+                    h = attn_p.apply({"params": pj["attn"]}, h, context_f,
+                                     lora_scale=lora_scale)
+                xc = _unfold(h, B)
+                if motion_p is not None:
+                    xc = motion_p.apply({"params": pj["motion"]}, xc,
+                                        pose_feature)
+                a = ()
+                if epi_p is not None:
+                    xc, a_list = epi_p.apply({"params": pj["epi"]}, xc,
+                                             epi_cond,
+                                             rngs={"epi_slope": kj})
+                    a = tuple(a_list)
+                return xc, a
+
+            x, aux_stacked = jax.lax.scan(body, x, (stacked, skips, keys))
+            aux.extend(_unstack_aux(aux_stacked, len(group)))
+            j = k + 1
         if self.add_upsample:
             x = _unfold(Upsample2D(self.out_channels, dtype=cfg.dtype, name="upsamplers_0")(_fold(x)), B)
         return x, aux
