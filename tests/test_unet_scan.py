@@ -13,6 +13,8 @@ import dataclasses
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # three full tiny-UNet compiles (~7 min/core)
+
 import jax
 import jax.numpy as jnp
 
