@@ -21,6 +21,8 @@ Modes:
   --train       full-size training iteration ms (B=2 folded pairs)
   --warm-only   build + compile + exit (run after kernel changes so the
                 persistent XLA cache is hot before a driver bench window)
+  --split-decode denoise + VAE decode as two separately cached executables
+                (smaller programs to compile; exact phase timing)
 
 Robustness (the round-2 driver bench died in a wedged backend init):
   * backend init + first device op run under a hard SIGALRM watchdog
@@ -328,6 +330,11 @@ def main():
                    help="UNetConfig.scan_identical_layers: dedup identical "
                         "UNet layers into lax.scan bodies (compile-time "
                         "A/B; costs ~1 GB resident HBM in stacked params)")
+    p.add_argument("--split-decode", action="store_true",
+                   help="run denoise and VAE decode as TWO separately "
+                        "cached executables (compile-diet A/B: a UNet "
+                        "kernel change no longer invalidates the decode "
+                        "cache entry; also gives exact phase timing)")
     p.add_argument("--warm-only", action="store_true",
                    help="build + compile + exit: warms the persistent XLA "
                         "cache after kernel changes so the next (driver) "
@@ -360,20 +367,41 @@ def main():
                                   accumulate_batched=args.acc_batched)
         # the advanced jit donates the plucker buffer; ship a fresh
         # device-side copy per call so repeats don't hit a deleted buffer
-        run = lambda key: pipe_a(
+        run_pipe = lambda key, decode: pipe_a(
             ids, neg, jnp.copy(plucker),
             c2w=jnp.asarray(c2ws, jnp.float32),
             K_mats=jnp.asarray(K, jnp.float32),
             num_inference_steps=args.steps, multistep=args.multistep,
-            accumulate_step=args.accumulate, rng=key,
+            accumulate_step=args.accumulate, rng=key, decode=decode,
         )
     else:
         from cvd_tpu.pipelines.simple import SimplePipeline
 
         F_mats = _pair_F_mats(c2ws, K, F)
         pipe = SimplePipeline(modules, F_mat_size=IMG)
-        run = lambda key: pipe(ids, neg, plucker, F_mats,
-                               num_inference_steps=args.steps, rng=key)
+        run_pipe = lambda key, decode: pipe(ids, neg, plucker, F_mats,
+                                            num_inference_steps=args.steps,
+                                            rng=key, decode=decode)
+
+    if args.split_decode:
+        # two independently cached executables: a denoise-only pipeline and
+        # a decode-only program. A UNet kernel change no longer invalidates
+        # the decode executable's cache entry, and the phase split makes
+        # unet_step_ms exact (no cross-program decode approximation).
+        from cvd_tpu.pipelines.common import decode_latents
+
+        dec = jax.jit(lambda vp, z: decode_latents(modules, vp, z))
+        phase_times = []
+
+        def run(key):
+            t0 = time.time()
+            z = _sync(run_pipe(key, False))
+            t1 = time.time()
+            v = _sync(dec(modules.vae_params, z))
+            phase_times.append((t1 - t0, time.time() - t1))
+            return v
+    else:
+        run = lambda key: run_pipe(key, True)
 
     _note("compiling end-to-end pipeline")
     t0 = time.time()
@@ -382,7 +410,7 @@ def main():
     _note(f"compile done in {compile_s:.1f}s")
 
     if args.warm_only:
-        if not args.advanced:
+        if not args.advanced and not args.split_decode:
             # also warm the decode-only program the full bench will time
             _time_decode(modules, dtype, 2, args.frames, args.size // 8)
         _emit({"metric": "warm_compile_seconds", "value": round(compile_s, 1),
@@ -401,7 +429,8 @@ def main():
     config = (f"{V}view-{F}f-{IMG}px-{args.steps}steps-"
               + (f"ms{args.multistep}-acc{args.accumulate}"
                  + ("b-" if args.acc_batched else "-") if args.advanced else "")
-              + ("f32" if args.f32 else "bf16") + ("-tiny" if args.tiny else ""))
+              + ("f32" if args.f32 else "bf16") + ("-tiny" if args.tiny else "")
+              + ("-split" if args.split_decode else ""))
     metric = ("advanced_videos_per_min_per_chip" if args.advanced
               else "videos_per_min_per_chip")
     videos_per_min = V / e2e_s * 60.0
@@ -419,20 +448,30 @@ def main():
     # a driver timeout, this line is already parsable
     _emit(dict(result, partial=True))
 
-    # UNet step time = (e2e - VAE decode) / UNet calls. Decode is timed with
-    # a small decode-only program instead of recompiling the whole pipeline
-    # without decode (saves a second ~200 s full-UNet server compile); the
-    # residual (CLIP/pose/scheduler/dispatch) is charged to the step, so
-    # unet_step_ms is an upper bound (noted in the JSON as step_ms_includes).
-    _note("compiling decode-only variant")
-    decode_s = _time_decode(modules, dtype, V, args.frames, args.size // 8)
     ncalls = args.steps * (args.multistep * args.accumulate if args.advanced else 1)
-    step_s = (e2e_s - decode_s) / ncalls
+    if args.split_decode:
+        # exact per-phase medians from the repeat loop (the compile call's
+        # inflated sample is excluded by slicing to the last `repeats`)
+        ph = phase_times[-args.repeats:]
+        denoise_s = float(np.median([a for a, _ in ph]))
+        decode_s = float(np.median([b for _, b in ph]))
+        step_s = denoise_s / ncalls
+        includes = "clip+pose+scheduler (in-program; exact split timing)"
+    else:
+        # UNet step time = (e2e - VAE decode) / UNet calls. Decode is timed
+        # with a small decode-only program instead of recompiling the whole
+        # pipeline without decode (saves a second ~200 s full-UNet server
+        # compile); the residual (CLIP/pose/scheduler/dispatch) is charged to
+        # the step, so unet_step_ms is an upper bound (step_ms_includes).
+        _note("compiling decode-only variant")
+        decode_s = _time_decode(modules, dtype, V, args.frames, args.size // 8)
+        step_s = (e2e_s - decode_s) / ncalls
+        includes = "clip+pose+scheduler overhead (upper bound)"
     result.update({
         "unet_step_ms": round(step_s * 1000.0, 2),
         "unet_calls": ncalls,
         "decode_seconds": round(decode_s, 3),
-        "step_ms_includes": "clip+pose+scheduler overhead (upper bound)",
+        "step_ms_includes": includes,
     })
     if not args.tiny:
         # achieved TFLOP/s + MFU of the denoise step (HLO-exact FLOP count
