@@ -3,9 +3,10 @@
 Settles BASELINE.md's analytic "~190 ms HBM floor" claim with measured
 data (VERDICT r2 weak #3): captures a jax.profiler trace of the jitted
 UNet apply at the bench config (batch 4 = 2 views x CFG, 16f, 32x32
-latents, bf16), converts the xplane via tensorboard_plugin_profile's
-framework_op_stats, and prints per-bucket device time + (when the
-tooling reports it) bytes.
+latents, bf16) with create_perfetto_trace=True and buckets the
+`/device:TPU:*` complete events by HLO-op name. (The image's
+tensorboard_plugin_profile is incompatible with its TF/protobuf, so the
+xplane path is unusable; the perfetto JSON needs no converter.)
 
 Usage: python scripts/step_profile.py [--repeats 3] [--outdir /tmp/cvd_prof]
 Prints a markdown table for BASELINE.md plus one JSON line.
@@ -14,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import glob
+import gzip
 import json
 import os
 import re
@@ -34,6 +36,11 @@ BUCKETS = (
     ("copies_reshapes", (r"copy", r"reshape", r"transpose", r"pad",
                          r"concatenate", r"slice", r"bitcast", r"gather",
                          r"dynamic-update")),
+    ("pooling", (r"reduce-window",)),
+    # unattributed loop/elementwise fusions (XLA names carry the root op
+    # when it's interesting; plain "fusion.N" lands here)
+    ("elementwise_fusion", (r"fusion", r"broadcast", r"multiply", r"add",
+                            r"convert", r"select", r"compare", r"reduce")),
 )
 
 
@@ -45,7 +52,7 @@ def bucket_of(name: str, category: str) -> str:
     return "other"
 
 
-def build_step():
+def build_step(tiny: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -53,14 +60,28 @@ def build_step():
     from cvd_tpu.models.unet import UNetConfig
     from cvd_tpu.pipelines.common import PipelineModules
 
-    cfg = UNetConfig(dtype=jnp.bfloat16)
-    modules = PipelineModules.create(unet_config=cfg, latent_size=32,
-                                     video_length=16)
+    from cvd_tpu.models.clip_text import CLIPTextConfig
+    from cvd_tpu.models.vae import VAEConfig
+
+    if tiny:  # cheap smoke of the trace/parse path (CPU-friendly)
+        cfg = UNetConfig(block_out_channels=(32, 64, 64, 64),
+                         attention_heads=4, cross_attention_dim=24,
+                         norm_num_groups=8, dtype=jnp.bfloat16)
+        vae_cfg = VAEConfig(block_out_channels=(32, 32, 64, 64),
+                            norm_num_groups=8, dtype=jnp.bfloat16)
+        clip_cfg = CLIPTextConfig(hidden_size=24, num_layers=2, num_heads=4,
+                                  intermediate_size=48)
+    else:
+        cfg, vae_cfg, clip_cfg = UNetConfig(dtype=jnp.bfloat16), None, None
+    modules = PipelineModules.create(unet_config=cfg, vae_config=vae_cfg,
+                                     clip_config=clip_cfg, latent_size=32,
+                                     video_length=16, fast_init=True)
     modules.cast_params()
     B, F, s = 4, 16, 32
     rng = np.random.default_rng(0)
     lat = jnp.asarray(rng.standard_normal((B, F, s, s, 4)), jnp.bfloat16)
-    text = jnp.asarray(rng.standard_normal((B, 77, 768)), jnp.bfloat16)
+    text = jnp.asarray(rng.standard_normal((B, 77, cfg.cross_attention_dim)),
+                       jnp.bfloat16)
     pose = [jnp.asarray(
         rng.standard_normal((B, F, s // 2**i, s // 2**i,
                              cfg.block_out_channels[i])) * 0.1, jnp.bfloat16)
@@ -86,24 +107,42 @@ def _sync(x):
     _ = np.asarray(leaf[(0,) * leaf.ndim])
 
 
-def parse_xplane(outdir: str):
-    """xplane.pb -> list of (op name, category, self time us, bytes?)."""
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
-
-    paths = sorted(glob.glob(os.path.join(outdir, "**", "*.xplane.pb"),
-                             recursive=True))
+def parse_perfetto(outdir: str):
+    """perfetto_trace.json.gz -> list of (op name, duration us) for events
+    on device tracks (process_name metadata starting with "/device:")."""
+    paths = sorted(glob.glob(
+        os.path.join(outdir, "**", "perfetto_trace.json.gz"), recursive=True))
     if not paths:
-        raise FileNotFoundError(f"no xplane.pb under {outdir}")
-    data, _ = rtd.xspace_to_tool_data([paths[-1]], "framework_op_stats", {})
-    if isinstance(data, bytes):
-        data = data.decode()
-    return data
+        raise FileNotFoundError(f"no perfetto_trace.json.gz under {outdir}")
+    doc = json.loads(gzip.open(paths[-1]).read())
+    events = doc["traceEvents"] if isinstance(doc, dict) else doc
+
+    # per-HLO-op events carry an `hlo_op` arg (on TPU they live on
+    # /device:* tracks; on the CPU backend on XLA executor threads under
+    # /host:CPU). Host wrapper events ($..., ThunkExecutor) don't.
+    hlo = [e for e in events
+           if e.get("ph") == "X" and isinstance(e.get("args"), dict)
+           and "hlo_op" in e["args"]]
+    if not hlo:
+        raise RuntimeError(
+            "no hlo_op-annotated events in trace (backend exports no "
+            "per-op timeline); cannot bucket the step")
+    device_pids = {
+        e["pid"] for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+        and str(e.get("args", {}).get("name", "")).startswith("/device:")}
+    on_device = [e for e in hlo if e.get("pid") in device_pids]
+    kind = "device" if on_device else "host_hlo"
+    return kind, [(e.get("name", ""), float(e.get("dur", 0.0)))
+                  for e in (on_device or hlo)]
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--outdir", default="/tmp/cvd_prof")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny model smoke run (verifies the trace/parse path)")
     args = p.parse_args()
 
     from cvd_tpu.utils.cache import enable_compilation_cache
@@ -111,7 +150,7 @@ def main():
     enable_compilation_cache()
     import jax
 
-    step, step_args = build_step()
+    step, step_args = build_step(tiny=args.tiny)
     print("[profile] compiling one UNet step", file=sys.stderr, flush=True)
     t0 = time.time()
     _sync(step(*step_args))
@@ -122,7 +161,7 @@ def main():
 
     ts = []
     os.makedirs(args.outdir, exist_ok=True)
-    jax.profiler.start_trace(args.outdir)
+    jax.profiler.start_trace(args.outdir, create_perfetto_trace=True)
     try:
         for _ in range(args.repeats):
             t0 = time.time()
@@ -135,56 +174,22 @@ def main():
           file=sys.stderr, flush=True)
 
     try:
-        raw = parse_xplane(args.outdir)
+        track_kind, op_events = parse_perfetto(args.outdir)
     except Exception as e:  # noqa: BLE001
         print(json.dumps({"step_ms": round(step_ms, 1),
                           "trace_parse_error": f"{type(e).__name__}: {e}"}))
         return
 
-    # framework_op_stats CSV/JSON: bucket self-times
-    rows = []
-    try:
-        parsed = json.loads(raw)
-        # gviz DataTable: {cols: [{label:...}], rows: [{c: [{v:..}]}]}
-        cols = [c.get("label", c.get("id", "")) for c in parsed[0]["cols"]] \
-            if isinstance(parsed, list) else \
-            [c.get("label", c.get("id", "")) for c in parsed["cols"]]
-        table = parsed[0] if isinstance(parsed, list) else parsed
-        for r in table["rows"]:
-            vals = [c.get("v") if isinstance(c, dict) else c for c in r["c"]]
-            rows.append(dict(zip(cols, vals)))
-    except Exception:
-        # fall back: raw CSV
-        import csv
-        import io
-
-        for r in csv.DictReader(io.StringIO(raw)):
-            rows.append(r)
-
-    def g(row, *names, default=0.0):
-        for n in names:
-            for k in row:
-                if n.lower() in str(k).lower():
-                    try:
-                        return float(row[k])
-                    except (TypeError, ValueError):
-                        pass
-        return default
-
     buckets: dict = {}
-    for row in rows:
-        name = str(row.get("Operation", row.get("Op name", row.get("op_name", ""))))
-        cat = str(row.get("Type", row.get("Category", row.get("category", ""))))
-        t_us = g(row, "total self-time (us)", "self time (us)", "self_time")
+    for name, t_us in op_events:
         if t_us <= 0:
             continue
-        b = bucket_of(name, cat)
+        b = bucket_of(name, "")
         d = buckets.setdefault(b, {"us": 0.0, "ops": 0})
         d["us"] += t_us
         d["ops"] += 1
 
     total_us = sum(d["us"] for d in buckets.values())
-    scale = (step_ms * 1000 * args.repeats) or 1.0
     print("\n| bucket | device ms/step | share | ops |")
     print("|---|---|---|---|")
     for b, d in sorted(buckets.items(), key=lambda kv: -kv[1]["us"]):
@@ -193,6 +198,7 @@ def main():
     print(f"| total traced | {total_us / 1000.0 / args.repeats:.1f} | 100% | |\n")
     print(json.dumps({
         "step_ms": round(step_ms, 1),
+        "track_kind": track_kind,
         "buckets_ms_per_step": {
             b: round(d["us"] / 1000.0 / args.repeats, 2)
             for b, d in buckets.items()

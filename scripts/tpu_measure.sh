@@ -31,6 +31,8 @@ run bench_6view 3600 python bench.py --advanced --views 6 --multistep 6 --accumu
 # 4. accumulate A/B at 4 views
 run bench_acc_scan 3000 python bench.py --advanced --views 4 --multistep 3 --accumulate 2 --repeats 2
 run bench_acc_batched 3000 python bench.py --advanced --views 4 --multistep 3 --accumulate 2 --acc-batched --repeats 2
+# 4b. split-decode: exact denoise/decode phase timing + per-program compile
+run bench_split 3000 python bench.py --split-decode
 # 5. compile split + step profile
 run stage_timing 2400 python scripts/stage_timing.py
 run step_profile 2400 python scripts/step_profile.py
