@@ -1,9 +1,19 @@
-"""Time trace / lower / compile stages of the simple pipeline on TPU."""
-import time, sys
+"""Time trace / lower / compile stages of the simple pipeline on TPU.
+
+--cold: use a throwaway compilation-cache dir so `compile` measures a
+true cold server compile instead of a persistent-cache hit.
+"""
+import os, time, sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 t_imp0 = time.time()
 from cvd_tpu.utils.cache import enable_compilation_cache
-enable_compilation_cache()
+if "--cold" in sys.argv:
+    import tempfile
+    enable_compilation_cache(tempfile.mkdtemp(prefix="cvd_cold_cache_"))
+else:
+    enable_compilation_cache()
 import jax, jax.numpy as jnp
 import numpy as np
 from functools import partial
@@ -21,7 +31,9 @@ dtype = jnp.bfloat16
 t0 = time.time()
 modules = PipelineModules.create(
     unet_config=UNetConfig(dtype=dtype), vae_config=VAEConfig(dtype=dtype),
-    clip_config=CLIPTextConfig(), latent_size=32, video_length=16)
+    clip_config=CLIPTextConfig(), latent_size=32, video_length=16,
+    fast_init=True)  # host-side init: no device init programs in the split
+modules.cast_params()  # bf16 bundle, same as the bench deployment
 print(f"init: {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
 
 V, F, IMG = 2, 16, 256

@@ -33,8 +33,10 @@ run bench_acc_scan 3000 python bench.py --advanced --views 4 --multistep 3 --acc
 run bench_acc_batched 3000 python bench.py --advanced --views 4 --multistep 3 --accumulate 2 --acc-batched --repeats 2
 # 4b. split-decode: exact denoise/decode phase timing + per-program compile
 run bench_split 3000 python bench.py --split-decode
-# 5. compile split + step profile
-run stage_timing 2400 python scripts/stage_timing.py
+# 5. compile split + step profile (cold = throwaway cache dir: the real
+# item-2 measurement; warm = persistent-cache-hit UX number)
+run stage_timing_cold 2400 python scripts/stage_timing.py --cold
+run stage_timing_warm 1200 python scripts/stage_timing.py
 run step_profile 2400 python scripts/step_profile.py
 # 6. compile-diet A/B: fresh-process cold(ish) compiles with gated Mosaic
 run warm_default 2400 python bench.py --warm-only
