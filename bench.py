@@ -16,7 +16,9 @@ Weights are random (the reference artifacts are not available in this
 environment); FLOP/byte cost is weight-independent.
 
 Modes:
-  (default)     simple 2-view pipeline e2e + denoise-step ms + MFU
+  (default)     simple 2-view pipeline e2e + denoise-step ms + MFU +
+                steady-state throughput + a training-iteration row
+                (--no-train-row skips the train phase)
   --advanced    N-view advanced pipeline (+ per-UNet-call MFU)
   --train       full-size training iteration ms (B=2 folded pairs)
   --warm-only   build + compile + exit (run after kernel changes so the
@@ -266,7 +268,7 @@ def _bench_train(args, modules, init_s):
         times.append(time.time() - t0)
         _note(f"train iter {i}: {times[-1] * 1000:.0f}ms")
     iter_ms = float(np.median(times)) * 1000.0
-    return {
+    result = {
         "metric": "train_iter_ms",
         "value": round(iter_ms, 1),
         "unit": "ms",
@@ -278,6 +280,17 @@ def _bench_train(args, modules, init_s):
         "config": f"B{B}rows-{F}f-{IMG}px-remat-"
                   f"{'f32' if args.f32 else 'bf16'}{'-tiny' if args.tiny else ''}",
     }
+    if not args.tiny:
+        # standard MFU convention: fwd+bwd = 3x forward model FLOPs; remat
+        # recompute and the VAE encode are excluded (so this undercounts
+        # the chip's actual work — it is model-FLOPs utilization, not HFU)
+        from cvd_tpu.utils.flops import V5E_PEAK_BF16_FLOPS, cached_unet_flops
+
+        fwd = cached_unet_flops(B, F, IMG // 8, bf16=not args.f32)
+        if fwd:
+            result["train_mfu"] = round(
+                3.0 * fwd / (iter_ms / 1000.0) / V5E_PEAK_BF16_FLOPS, 3)
+    return result
 
 
 def _time_decode(modules, dtype, rows, frames, latent):
@@ -339,6 +352,9 @@ def main():
                    help="build + compile + exit: warms the persistent XLA "
                         "cache after kernel changes so the next (driver) "
                         "bench run skips the cold compile")
+    p.add_argument("--no-train-row", action="store_true",
+                   help="skip the training-iteration phase the default "
+                        "mode appends after the inference result")
     args = p.parse_args()
 
     from cvd_tpu.utils.cache import enable_compilation_cache
@@ -426,6 +442,20 @@ def main():
         _note(f"e2e repeat {i}: {times[-1]:.2f}s")
     e2e_s = float(np.median(times))
 
+    # steady-state throughput: enqueue `repeats` generations back-to-back and
+    # sync ONCE — async dispatch overlaps host work and VAE decode with the
+    # next clip's denoise, which is the production serving rate (the
+    # per-clip latency above stays the headline `value`)
+    steady_s = None
+    if args.repeats > 1 and not args.split_decode:
+        t0 = time.time()
+        outs = [run_pipe(jax.random.key(100 + i), True)
+                for i in range(args.repeats)]
+        for o in outs:
+            _sync(o)
+        steady_s = (time.time() - t0) / args.repeats
+        _note(f"steady-state: {steady_s:.2f}s/clip over {args.repeats} clips")
+
     config = (f"{V}view-{F}f-{IMG}px-{args.steps}steps-"
               + (f"ms{args.multistep}-acc{args.accumulate}"
                  + ("b-" if args.acc_batched else "-") if args.advanced else "")
@@ -444,6 +474,9 @@ def main():
         "init_seconds": round(init_s, 1),
         "config": config,
     }
+    if steady_s:
+        result["steady_state_videos_per_min"] = round(V / steady_s * 60.0, 3)
+        result["steady_state_seconds_per_clip"] = round(steady_s, 3)
     # partial emission: if the decode timing / MFU accounting below dies at
     # a driver timeout, this line is already parsable
     _emit(dict(result, partial=True))
@@ -486,6 +519,29 @@ def main():
             result["achieved_tflops_per_s"] = round(flops / step_s / 1e12, 1)
             result["mfu"] = round(flops / step_s / V5E_PEAK_BF16_FLOPS, 3)
     _emit(result)
+
+    if (not args.advanced and not args.split_decode
+            and not args.no_train_row):
+        # append the training-iteration measurement to the driver artifact.
+        # Runs AFTER every inference line is flushed, so a failure or
+        # timeout here can never cost the headline; the last stdout line
+        # re-emits the headline with the train fields embedded (drivers
+        # that keep the last parsable line still see the headline metric).
+        try:
+            del run_pipe, run       # release the inference bundle before a
+            pipe = modules = None   # second (f32-master) bundle is built
+            train_args = argparse.Namespace(**vars(args))
+            train_args.train = True  # keep f32 master weights in build
+            t_modules, t_init_s = _build_modules(train_args, dtype)
+            row = _bench_train(train_args, t_modules, t_init_s)
+            result["train_iter_ms"] = row["value"]
+            if "train_mfu" in row:
+                result["train_mfu"] = row["train_mfu"]
+            result["train_compile_seconds"] = row["compile_seconds"]
+        except Exception as e:  # noqa: BLE001
+            result["train_row_error"] = f"{type(e).__name__}: {e}"
+            _note(f"train row failed: {result['train_row_error']}")
+        _emit(result)
 
 
 if __name__ == "__main__":

@@ -23,8 +23,9 @@ x = jnp.ones((256, 256)); print('ok', np.asarray((x @ x)[0, 0]))
 echo "health ok" | tee -a "$OUT/queue.log"
 
 # 1. simple bench (warms the persistent cache; full driver metric)
-run bench_simple 3000 python bench.py
-# 2. train iteration
+run bench_simple 3000 python bench.py --no-train-row
+# 2. train iteration (also warms the train program for the driver's
+# plain `bench.py`, whose default mode appends a train row)
 run bench_train 3000 python bench.py --train --repeats 3
 # 3. 6-view single-chip validation (driver config #5)
 run bench_6view 3600 python bench.py --advanced --views 6 --multistep 6 --accumulate 2 --repeats 1
