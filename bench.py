@@ -460,7 +460,8 @@ def main():
               + (f"ms{args.multistep}-acc{args.accumulate}"
                  + ("b-" if args.acc_batched else "-") if args.advanced else "")
               + ("f32" if args.f32 else "bf16") + ("-tiny" if args.tiny else "")
-              + ("-split" if args.split_decode else ""))
+              + ("-split" if args.split_decode else "")
+              + ("-scan" if args.scan_layers else ""))
     metric = ("advanced_videos_per_min_per_chip" if args.advanced
               else "videos_per_min_per_chip")
     videos_per_min = V / e2e_s * 60.0
