@@ -78,7 +78,9 @@ def main(args):
             "pairing is a perfect matching across views "
             "(pipeline_animation_epi_advanced.py:621-633)"
         )
-    captions, negatives, seeds = load_prompts(args.caption_file, False)
+    captions, negatives, seeds = load_prompts(
+        args.caption_file, args.use_negative_prompt
+    )
 
     c2ws, K = build_cameras(args)  # [V*F, 4, 4], [V*F, 3, 3]
     intr = np.stack([K[:, 0, 0], K[:, 1, 1], K[:, 0, 2], K[:, 1, 2]], -1).astype(np.float32)
@@ -111,10 +113,12 @@ def main(args):
         fix_firstframe=args.fix_firstframe,
         mesh=mesh,
     )
-    neg_ids = jnp.asarray(tokenizer([""]))
-
     for seed_id in range(args.multiseed):
         for idx, prompt in enumerate(captions):
+            # per-prompt negative (inference_epi_advanced.py:444,269-272)
+            neg_ids = jnp.asarray(
+                tokenizer([negatives[idx] if negatives else ""])
+            )
             sub = os.path.join(args.out_root, f"{seed_id}_{idx:04d}")
             os.makedirs(sub, exist_ok=True)
             seed = (
@@ -168,6 +172,9 @@ def build_parser():
     p.add_argument("--num_inference_steps", type=int, default=25)
     p.add_argument("--guidance_scale", type=float, default=8.5)
     p.add_argument("--caption_file", required=True)
+    p.add_argument("--use_negative_prompt", action="store_true",
+                   help="read per-prompt negative_prompts from the caption "
+                        "json (inference_epi_advanced.py:444)")
     p.add_argument("--use_specific_seeds", action="store_true")
     p.add_argument("--zero_first_frame_scale", action="store_true", default=True,
                    help="identity-first pose normalization; procedural "

@@ -58,11 +58,15 @@ def test_inference_cli_smoke(tmp_path):
 def test_inference_advanced_cli_smoke(tmp_path):
     from cvd_tpu.cli.inference_advanced import build_parser, main
 
-    cap = tmp_path / "prompts.txt"
-    cap.write_text("a tiny advanced scene\n")
+    cap = tmp_path / "prompts.json"
+    cap.write_text(json.dumps({
+        "captions": ["a tiny advanced scene"],
+        "negative_prompts": ["blurry, watermark"],
+    }))
     out = tmp_path / "out"
     args = build_parser().parse_args([
         "--random-weights", "--caption_file", str(cap),
+        "--use_negative_prompt",  # per-prompt negative, reference :444
         "--image_height", "64", "--image_width", "64",
         "--video_length", "2", "--num_inference_steps", "2",
         "--view_num", "2", "--multistep", "2", "--cam_pattern", "circle",
