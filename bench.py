@@ -426,9 +426,10 @@ def main():
     _note(f"compile done in {compile_s:.1f}s")
 
     if args.warm_only:
-        if not args.advanced and not args.split_decode:
+        if not args.split_decode:
             # also warm the decode-only program the full bench will time
-            _time_decode(modules, dtype, 2, args.frames, args.size // 8)
+            # (both modes: the advanced bench calls _time_decode too)
+            _time_decode(modules, dtype, V, args.frames, args.size // 8)
         _emit({"metric": "warm_compile_seconds", "value": round(compile_s, 1),
                "unit": "s", "vs_baseline": 1.0,
                "mode": "advanced" if args.advanced else "simple"})
@@ -482,7 +483,18 @@ def main():
     # a driver timeout, this line is already parsable
     _emit(dict(result, partial=True))
 
-    ncalls = args.steps * (args.multistep * args.accumulate if args.advanced else 1)
+    if args.advanced and args.acc_batched:
+        # batched accumulate: ONE UNet call per multistep iteration at
+        # batch 2V*acc (vs the scan path's `accumulate` calls at 2V) —
+        # unet_calls / unet_step_ms / MFU must reflect the real launch
+        # count and per-call batch or the A/B comparison is skewed
+        ncalls = args.steps * args.multistep
+        batch_per_call = 2 * V * args.accumulate
+    else:
+        ncalls = args.steps * (
+            args.multistep * args.accumulate if args.advanced else 1
+        )
+        batch_per_call = 2 * V
     if args.split_decode:
         # exact per-phase medians from the repeat loop (the compile call's
         # inflated sample is excluded by slicing to the last `repeats`)
@@ -510,10 +522,11 @@ def main():
     if not args.tiny:
         # achieved TFLOP/s + MFU of the denoise step (HLO-exact FLOP count
         # from utils.flops, CPU-subprocess cached; v5e bf16 peak 197 TF/s);
-        # batch per UNet call is 2V (views x CFG) in both pipelines
+        # batch per UNet call is 2V (views x CFG), or 2V*acc when
+        # --acc-batched folds the accumulate pairings into one call
         from cvd_tpu.utils.flops import V5E_PEAK_BF16_FLOPS, cached_unet_flops
 
-        flops = cached_unet_flops(2 * V, args.frames, args.size // 8,
+        flops = cached_unet_flops(batch_per_call, args.frames, args.size // 8,
                                   bf16=not args.f32)
         if flops:
             result["unet_step_tflops"] = round(flops / 1e12, 2)

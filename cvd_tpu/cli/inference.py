@@ -26,6 +26,12 @@ def load_prompts(caption_file: str, use_negative: bool, num_videos=None):
         if isinstance(captions[0], dict):
             captions = [c["caption"] for c in captions]
         negatives = data.get("negative_prompts") if use_negative else None
+        if negatives is not None and len(negatives) != len(captions):
+            # fail at load, not mid-run after minutes of sampling
+            raise SystemExit(
+                f"--use_negative_prompt: negative_prompts has "
+                f"{len(negatives)} entries but captions has {len(captions)}"
+            )
         seeds = data.get("seeds")
     else:
         captions = [l.strip() for l in open(caption_file) if l.strip()]

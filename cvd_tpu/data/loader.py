@@ -10,9 +10,12 @@ Two worker types:
     decode is Python/GIL-bound, so throughput tops out near one core.
   * ``process`` — forked worker processes (the reference's num_workers=32
     equivalent). Each worker inherits the dataset via fork and decodes on
-    its own core; samples return pickled through the pool. Workers must be
-    forked BEFORE any JAX backend touches the process if the dataset is
-    used alongside device code — the train CLI builds its loaders first.
+    its own core; samples return pickled through the pool. Pools are
+    forked at iteration start (per epoch, for the per-epoch reseed), which
+    can be after the JAX backend initialized — safe ONLY because dataset
+    __getitem__ math is host-only numpy (geometry/_xp.py); a dataset that
+    touches JAX per item would deadlock a forked child on inherited
+    runtime locks.
 
 ``scripts/loader_bench.py`` measures both against the train-step budget.
 """
@@ -27,8 +30,25 @@ from typing import Callable, Iterator, Optional, Sequence
 import numpy as np
 
 # fork-inherited dataset for process workers (initargs would pickle it;
-# fork inheritance is free and keeps mmap'd/cached state shared)
+# fork inheritance is free and keeps mmap'd/cached state shared). The
+# global is only valid between "assign" and "fork done", so both happen
+# under _FORK_LOCK: concurrently iterating loaders (hybrid training runs
+# several) must not fork a pool while another loader's dataset is staged.
 _FORK_DATASET = None
+_FORK_LOCK = threading.Lock()
+
+
+def _qput(q, item, stop) -> bool:
+    """put that re-checks ``stop``: a consumer that abandoned iteration
+    leaves the queue full, and a plain q.put would block the producer (and
+    its worker pool) forever."""
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=0.25)
+            return True
+        except queue.Full:
+            continue
+    return False
 
 
 def _process_worker_init(seed: int, counter):
@@ -115,30 +135,41 @@ class DataLoader:
         per_proc = len(self.dataset) // self.process_count
         return per_proc // self.batch_size
 
-    def _map_batches(self, batches, q, stop):
-        if self.worker_type == "process":
-            import multiprocessing
+    def _fork_pool(self):
+        """Fork a worker pool for this epoch. The global-stage + fork pair
+        is serialized across ALL loaders (_FORK_LOCK) so a concurrent
+        loader cannot overwrite the staged dataset mid-fork."""
+        import multiprocessing
 
-            global _FORK_DATASET
+        global _FORK_DATASET
+        ctx = multiprocessing.get_context("fork")
+        counter = ctx.Value("i", 0)
+        with _FORK_LOCK:
             _FORK_DATASET = self.dataset
-            ctx = multiprocessing.get_context("fork")
-            counter = ctx.Value("i", 0)
-            with ctx.Pool(
+            # workers fork (and capture the dataset) inside Pool.__init__
+            pool = ctx.Pool(
                 self.num_workers, initializer=_process_worker_init,
                 initargs=(self.seed + self.epoch, counter),
-            ) as pool:
-                for b in batches:
-                    if stop.is_set():
-                        return
-                    samples = pool.map(_process_worker_get, list(b))
-                    q.put(self.collate(samples))
+            )
+            _FORK_DATASET = None
+        return pool
+
+    def _map_batches(self, batches, q, stop, pool):
+        if pool is not None:
+            for b in batches:
+                if stop.is_set():
+                    return
+                samples = pool.map(_process_worker_get, list(b))
+                if not _qput(q, self.collate(samples), stop):
+                    return
         else:
-            with ThreadPoolExecutor(self.num_workers) as pool:
+            with ThreadPoolExecutor(self.num_workers) as tpool:
                 for b in batches:
                     if stop.is_set():
                         return
-                    samples = list(pool.map(self.dataset.__getitem__, b))
-                    q.put(self.collate(samples))
+                    samples = list(tpool.map(self.dataset.__getitem__, b))
+                    if not _qput(q, self.collate(samples), stop):
+                        return
 
     def __iter__(self) -> Iterator[dict]:
         idx = shard_indices(
@@ -150,13 +181,16 @@ class DataLoader:
         batches = idx.reshape(-1, self.batch_size)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        # fork in the consumer's thread (not the producer) so pool setup is
+        # serialized with any other loader's fork via _FORK_LOCK
+        pool = self._fork_pool() if self.worker_type == "process" else None
 
         def produce():
             try:
-                self._map_batches(batches, q, stop)
-                q.put(None)
+                self._map_batches(batches, q, stop, pool)
+                _qput(q, None, stop)
             except BaseException as e:  # noqa: BLE001 - re-raised in consumer
-                q.put(e)
+                _qput(q, e, stop)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()
@@ -170,3 +204,9 @@ class DataLoader:
                 yield batch
         finally:
             stop.set()
+            if pool is not None:
+                # kill forked workers even if the consumer abandoned the
+                # iterator mid-epoch (the producer notices `stop` at its
+                # next bounded q.put and exits)
+                pool.terminate()
+                pool.join()

@@ -27,12 +27,21 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BUCKETS = (
-    # (bucket, regexes matched against op name/category, first hit wins)
-    ("attention_kernels", (r"flash", r"epi_attn", r"temporal_attn",
-                           r"mosaic", r"custom-call", r"tpu_custom_call")),
-    ("ln_groupnorm", (r"ln_matmul", r"group_norm", r"groupnorm", r"layer_norm",
-                      r"layernorm", r"ln_qkv", r"norm")),
-    ("conv_matmul", (r"conv", r"dot", r"einsum", r"matmul", r"dense")),
+    # (bucket, regexes matched against op name/category, first hit wins).
+    # Named norm kernels come FIRST so the Mosaic GroupNorm / LN->matmul
+    # kernels (_gn / _ln_mm in the program census) are not swallowed by the
+    # generic custom-call patterns.
+    ("ln_groupnorm", (r"ln_matmul", r"_ln_mm", r"_gn", r"group_norm",
+                      r"groupnorm", r"layer_norm", r"layernorm", r"ln_qkv",
+                      r"norm")),
+    ("attention_kernels", (r"flash", r"_fwd", r"epi_attn", r"temporal_attn",
+                           r"attention")),
+    # bare custom-call.N events carry no kernel identity in the trace; give
+    # them their own bucket instead of inflating the attention share
+    ("mosaic_unattributed", (r"mosaic", r"custom-call", r"tpu_custom_call")),
+    # (?!ert) so dtype-cast 'convert.N' HLOs fall through to
+    # elementwise_fusion instead of being counted as convolutions
+    ("conv_matmul", (r"conv(?!ert)", r"dot", r"einsum", r"matmul", r"dense")),
     ("copies_reshapes", (r"copy", r"reshape", r"transpose", r"pad",
                          r"concatenate", r"slice", r"bitcast", r"gather",
                          r"dynamic-update")),

@@ -237,3 +237,19 @@ def test_train_cli_smoke(tmp_path):
     assert (out_dir / "metrics.jsonl").exists() or any(
         p.name.endswith(".jsonl") for p in out_dir.iterdir()
     )
+
+
+def test_load_prompts_negative_length_mismatch(tmp_path):
+    """--use_negative_prompt fails at LOAD time when negative_prompts is
+    shorter than captions (not mid-run after minutes of sampling)."""
+    from cvd_tpu.cli.inference import load_prompts
+
+    cap = tmp_path / "p.json"
+    cap.write_text(json.dumps({
+        "captions": ["a", "b", "c"], "negative_prompts": ["blurry"],
+    }))
+    with pytest.raises(SystemExit, match="negative_prompts has 1"):
+        load_prompts(str(cap), True)
+    # without the flag the mismatch is irrelevant
+    caps, negs, _ = load_prompts(str(cap), False)
+    assert len(caps) == 3 and negs is None

@@ -355,3 +355,49 @@ def test_loader_process_workers(fake_root):
     with pytest.raises(ValueError, match="boom"):
         next(iter(DataLoader(Broken(), batch_size=2, num_workers=2,
                              worker_type="process")))
+
+
+class _TaggedDS:
+    """Picklable fork-inherited dataset whose items carry its identity."""
+
+    def __init__(self, tag, n=8):
+        self.tag, self.n = tag, n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"tag": np.full((2,), self.tag, np.int32),
+                "idx": np.asarray([i], np.int32)}
+
+
+def test_concurrent_process_loaders_serve_own_dataset():
+    """Two process-worker loaders iterated concurrently (hybrid training's
+    shape) must each serve THEIR dataset: the fork-staging global is
+    serialized, so loader A's pool can't capture loader B's dataset."""
+    dla = DataLoader(_TaggedDS(1), batch_size=2, shuffle=False, num_workers=2,
+                     worker_type="process")
+    dlb = DataLoader(_TaggedDS(2), batch_size=2, shuffle=False, num_workers=2,
+                     worker_type="process")
+    ita, itb = iter(dla), iter(dlb)  # both pools forked before either drains
+    for _ in range(3):
+        a, b = next(ita), next(itb)
+        assert (a["tag"] == 1).all(), a["tag"]
+        assert (b["tag"] == 2).all(), b["tag"]
+    ita.close()
+    itb.close()
+
+
+def test_process_loader_early_exit_cleans_up():
+    """Abandoning iteration mid-epoch must not hang: the producer's bounded
+    q.put re-checks stop, and the forked pool is terminated in finally."""
+    import multiprocessing
+
+    dl = DataLoader(_TaggedDS(3, n=64), batch_size=2, shuffle=False,
+                    num_workers=2, prefetch=1, worker_type="process")
+    for _ in range(3):
+        it = iter(dl)
+        next(it)
+        it.close()  # runs the generator's finally: stop + pool.terminate
+    # no forked worker survives the closed iterations
+    assert multiprocessing.active_children() == []

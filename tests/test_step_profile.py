@@ -94,10 +94,18 @@ def test_no_hlo_events_raises(sp, tmp_path):
 
 def test_bucketing(sp):
     cases = {
-        "tpu_custom_call.42": "attention_kernels",      # Mosaic kernels
+        # bare Mosaic calls carry no kernel identity -> own bucket, never
+        # charged to attention
+        "tpu_custom_call.42": "mosaic_unattributed",
+        # named Mosaic kernels (census: _fwd / _gn / _ln_mm)
+        "flash_attention_fwd.3": "attention_kernels",
+        "_gn.17": "ln_groupnorm",
+        "_ln_mm.5": "ln_groupnorm",
         "fused_group_norm_silu": "ln_groupnorm",
         "dot_general.3": "conv_matmul",
         "conv_general_dilated.9": "conv_matmul",
+        # dtype casts must NOT be counted as convolutions
+        "convert.123": "elementwise_fusion",
         "copy.1": "copies_reshapes",
         "wrapped_reduce-window.7": "pooling",
         "broadcast_multiply_fusion.8": "elementwise_fusion",
