@@ -149,6 +149,97 @@ def _scan_keys(module, n):
     return jax.random.split(jax.random.key(0), n)
 
 
+def _layer_modules(cfg: UNetConfig, channels: int, temb_dim: int, j=None, *,
+                   heads=None, cross_dim=None, with_attn=False,
+                   with_motion=False, with_epi=False):
+    """The (resnet, attn?, motion?, epi?) submodule defs of one UNet layer.
+
+    With an int ``j``, builds the NAMED instances (``resnets_j``,
+    ``attentions_j``, ``motion_modules_j``, ``epi_modules_j``) used by the
+    unrolled path and the init/checkpoint layout; with ``j=None``, builds
+    detached protos (``parent=None``) for a ``lax.scan`` body over
+    trace-time-stacked params. One constructor site for both paths, so the
+    scan and unrolled variants cannot diverge in hyperparameters.
+    """
+    def kw(base):
+        return {"parent": None} if j is None else {"name": f"{base}_{j}"}
+
+    resnet = ResnetBlock2D(channels, temb_dim, cfg.norm_num_groups,
+                           dtype=cfg.dtype, **kw("resnets"))
+    attn = Transformer2DModel(
+        channels, heads, channels // heads,
+        cross_attention_dim=cross_dim,
+        extended_attention=cfg.spatial_extended_attention,
+        lora_rank=_lora_rank(cfg, channels),
+        groups=cfg.norm_num_groups, dtype=cfg.dtype, **kw("attentions"),
+    ) if with_attn else None
+    motion = TemporalTransformer(
+        channels, cfg.attention_heads,
+        cfg.motion_num_transformer_blocks, cfg.motion_num_attention_blocks,
+        cfg.motion_pe_max_len, cfg.pose_cond_attn_indices, cfg.pose_scale,
+        cfg.motion_norm_groups, cfg.motion_zero_initialize,
+        dtype=cfg.dtype, **kw("motion_modules"),
+    ) if with_motion else None
+    epi = EpiTransformer(
+        channels, cfg.attention_heads,
+        cfg.epi_num_transformer_blocks, cfg.epi_num_attention_blocks,
+        cfg.epi_norm_groups, cfg.epi_zero_initialize,
+        dtype=cfg.dtype, **kw("epi_modules"),
+    ) if with_epi else None
+    return resnet, attn, motion, epi
+
+
+_SCAN_ROLES = (("resnet", "resnets"), ("attn", "attentions"),
+               ("motion", "motion_modules"), ("epi", "epi_modules"))
+
+
+def _scan_layer_group(block, protos, group, x, *, B, temb_f, context_f=None,
+                      pose_feature=None, epi_cond=None, lora_scale=1.0,
+                      skips=None, collect_res=False):
+    """Run the layers in ``group`` as ONE lax.scan over stacked params.
+
+    The body is the same resnet -> attn -> motion -> epi sequence as the
+    unrolled path (tests/test_unet_scan.py pins forward+grad equivalence).
+    ``skips`` (up blocks) are concatenated onto the carry before the
+    resnet. Returns (x, per-layer res list | None, flat aux list).
+    """
+    resnet_p, attn_p, motion_p, epi_p = protos
+    present = dict(zip(("resnet", "attn", "motion", "epi"), protos))
+    roles = {role: prefix for role, prefix in _SCAN_ROLES
+             if present[role] is not None}
+    stacked = _stack_layer_params(block.variables["params"], roles, group)
+    keys = _scan_keys(block, len(group))
+
+    def body(xc, xs):
+        if skips is None:
+            pj, kj = xs
+        else:
+            pj, skip, kj = xs
+            xc = jnp.concatenate([xc, skip], axis=-1)
+        h = resnet_p.apply({"params": pj["resnet"]}, _fold(xc), temb_f)
+        if attn_p is not None:
+            h = attn_p.apply({"params": pj["attn"]}, h, context_f,
+                             lora_scale=lora_scale)
+        xc = _unfold(h, B)
+        if motion_p is not None:
+            xc = motion_p.apply({"params": pj["motion"]}, xc, pose_feature)
+        a = ()
+        if epi_p is not None:
+            xc, a_list = epi_p.apply({"params": pj["epi"]}, xc, epi_cond,
+                                     rngs={"epi_slope": kj})
+            a = tuple(a_list)
+        return xc, ((xc, a) if collect_res else a)
+
+    xs = (stacked, keys) if skips is None else (stacked, skips, keys)
+    x, out = jax.lax.scan(body, x, xs)
+    if collect_res:
+        res_stacked, aux_stacked = out
+        res = [res_stacked[i] for i in range(len(group))]
+    else:
+        res, aux_stacked = None, out
+    return x, res, _unstack_aux(aux_stacked, len(group))
+
+
 class CrossAttnDownBlock(nn.Module):
     out_channels: int
     num_layers: int
@@ -159,34 +250,12 @@ class CrossAttnDownBlock(nn.Module):
     use_epi: bool
     cfg: UNetConfig
 
-    def _protos(self, temb_dim):
-        """Detached (parent=None) single-layer module defs for the scan
-        body; identical hyperparams to the named per-layer instances."""
-        cfg = self.cfg
-        resnet = ResnetBlock2D(self.out_channels, temb_dim,
-                               cfg.norm_num_groups, dtype=cfg.dtype,
-                               parent=None)
-        attn = Transformer2DModel(
-            self.out_channels, self.heads, self.out_channels // self.heads,
-            cross_attention_dim=self.cross_attention_dim,
-            extended_attention=cfg.spatial_extended_attention,
-            lora_rank=_lora_rank(cfg, self.out_channels),
-            groups=cfg.norm_num_groups, dtype=cfg.dtype, parent=None,
-        )
-        motion = TemporalTransformer(
-            self.out_channels, cfg.attention_heads,
-            cfg.motion_num_transformer_blocks, cfg.motion_num_attention_blocks,
-            cfg.motion_pe_max_len, cfg.pose_cond_attn_indices, cfg.pose_scale,
-            cfg.motion_norm_groups, cfg.motion_zero_initialize,
-            dtype=cfg.dtype, parent=None,
-        ) if self.use_motion else None
-        epi = EpiTransformer(
-            self.out_channels, cfg.attention_heads,
-            cfg.epi_num_transformer_blocks, cfg.epi_num_attention_blocks,
-            cfg.epi_norm_groups, cfg.epi_zero_initialize,
-            dtype=cfg.dtype, parent=None,
-        ) if self.use_epi else None
-        return resnet, attn, motion, epi
+    def _defs(self, temb_dim, j=None):
+        return _layer_modules(self.cfg, self.out_channels, temb_dim, j,
+                              heads=self.heads,
+                              cross_dim=self.cross_attention_dim,
+                              with_attn=True, with_motion=self.use_motion,
+                              with_epi=self.use_epi)
 
     @nn.compact
     def __call__(self, x, temb, context, pose_feature, epi_cond, lora_scale=1.0):
@@ -203,68 +272,22 @@ class CrossAttnDownBlock(nn.Module):
         if (cfg.scan_identical_layers and not self.is_initializing()
                 and self.num_layers >= 2
                 and x.shape[-1] == self.out_channels):
-            roles = {"resnet": "resnets", "attn": "attentions"}
-            if self.use_motion:
-                roles["motion"] = "motion_modules"
-            if self.use_epi:
-                roles["epi"] = "epi_modules"
-            stacked = _stack_layer_params(self.variables["params"], roles,
-                                          range(self.num_layers))
-            resnet_p, attn_p, motion_p, epi_p = self._protos(temb.shape[-1])
-            keys = _scan_keys(self, self.num_layers)
-
-            def body(xc, xs):
-                pj, kj = xs
-                h = _fold(xc)
-                h = resnet_p.apply({"params": pj["resnet"]}, h, temb_f)
-                h = attn_p.apply({"params": pj["attn"]}, h, context_f,
-                                 lora_scale=lora_scale)
-                xc = _unfold(h, B)
-                if motion_p is not None:
-                    xc = motion_p.apply({"params": pj["motion"]}, xc,
-                                        pose_feature)
-                a = ()
-                if epi_p is not None:
-                    xc, a_list = epi_p.apply({"params": pj["epi"]}, xc,
-                                             epi_cond,
-                                             rngs={"epi_slope": kj})
-                    a = tuple(a_list)
-                return xc, (xc, a)
-
-            x, (res_stacked, aux_stacked) = jax.lax.scan(
-                body, x, (stacked, keys))
-            res_states = [res_stacked[j] for j in range(self.num_layers)]
-            aux = _unstack_aux(aux_stacked, self.num_layers)
+            x, res_states, aux = _scan_layer_group(
+                self, self._defs(temb.shape[-1]), range(self.num_layers), x,
+                B=B, temb_f=temb_f, context_f=context_f,
+                pose_feature=pose_feature, epi_cond=epi_cond,
+                lora_scale=lora_scale, collect_res=True,
+            )
         else:
             for j in range(self.num_layers):
-                h = _fold(x)
-                h = ResnetBlock2D(
-                    self.out_channels, temb.shape[-1], cfg.norm_num_groups,
-                    dtype=cfg.dtype, name=f"resnets_{j}",
-                )(h, temb_f)
-                h = Transformer2DModel(
-                    self.out_channels, self.heads, self.out_channels // self.heads,
-                    cross_attention_dim=self.cross_attention_dim,
-                    extended_attention=cfg.spatial_extended_attention,
-                    lora_rank=_lora_rank(cfg, self.out_channels),
-                    groups=cfg.norm_num_groups, dtype=cfg.dtype, name=f"attentions_{j}",
-                )(h, context_f, lora_scale=lora_scale)
+                resnet, attn, motion, epi = self._defs(temb.shape[-1], j)
+                h = resnet(_fold(x), temb_f)
+                h = attn(h, context_f, lora_scale=lora_scale)
                 x = _unfold(h, B)
-                if self.use_motion:
-                    x = TemporalTransformer(
-                        self.out_channels, cfg.attention_heads,
-                        cfg.motion_num_transformer_blocks, cfg.motion_num_attention_blocks,
-                        cfg.motion_pe_max_len, cfg.pose_cond_attn_indices, cfg.pose_scale,
-                        cfg.motion_norm_groups, cfg.motion_zero_initialize,
-                        dtype=cfg.dtype, name=f"motion_modules_{j}",
-                    )(x, pose_feature)
-                if self.use_epi:
-                    x, a = EpiTransformer(
-                        self.out_channels, cfg.attention_heads,
-                        cfg.epi_num_transformer_blocks, cfg.epi_num_attention_blocks,
-                        cfg.epi_norm_groups, cfg.epi_zero_initialize,
-                        dtype=cfg.dtype, name=f"epi_modules_{j}",
-                    )(x, epi_cond)
+                if motion is not None:
+                    x = motion(x, pose_feature)
+                if epi is not None:
+                    x, a = epi(x, epi_cond)
                     aux += a
                 res_states.append(x)
         if self.add_downsample:
@@ -281,6 +304,11 @@ class DownBlock(nn.Module):
     use_epi: bool
     cfg: UNetConfig
 
+    def _defs(self, temb_dim, j=None):
+        return _layer_modules(self.cfg, self.out_channels, temb_dim, j,
+                              with_motion=self.use_motion,
+                              with_epi=self.use_epi)
+
     @nn.compact
     def __call__(self, x, temb, pose_feature, epi_cond):
         cfg = self.cfg
@@ -291,80 +319,21 @@ class DownBlock(nn.Module):
         if (cfg.scan_identical_layers and not self.is_initializing()
                 and self.num_layers >= 2
                 and x.shape[-1] == self.out_channels):
-            roles = {"resnet": "resnets"}
-            if self.use_motion:
-                roles["motion"] = "motion_modules"
-            if self.use_epi:
-                roles["epi"] = "epi_modules"
-            stacked = _stack_layer_params(self.variables["params"], roles,
-                                          range(self.num_layers))
-            resnet_p = ResnetBlock2D(self.out_channels, temb.shape[-1],
-                                     cfg.norm_num_groups, dtype=cfg.dtype,
-                                     parent=None)
-            motion_p = TemporalTransformer(
-                self.out_channels, cfg.attention_heads,
-                cfg.motion_num_transformer_blocks,
-                cfg.motion_num_attention_blocks,
-                cfg.motion_pe_max_len, cfg.pose_cond_attn_indices,
-                cfg.pose_scale, cfg.motion_norm_groups,
-                cfg.motion_zero_initialize, dtype=cfg.dtype, parent=None,
-            ) if self.use_motion else None
-            epi_p = EpiTransformer(
-                self.out_channels, cfg.attention_heads,
-                cfg.epi_num_transformer_blocks, cfg.epi_num_attention_blocks,
-                cfg.epi_norm_groups, cfg.epi_zero_initialize,
-                dtype=cfg.dtype, parent=None,
-            ) if self.use_epi else None
-            keys = _scan_keys(self, self.num_layers)
-
-            def body(xc, xs):
-                pj, kj = xs
-                xc = _unfold(
-                    resnet_p.apply({"params": pj["resnet"]}, _fold(xc),
-                                   temb_f), B)
-                if motion_p is not None:
-                    xc = motion_p.apply({"params": pj["motion"]}, xc,
-                                        pose_feature)
-                a = ()
-                if epi_p is not None:
-                    xc, a_list = epi_p.apply({"params": pj["epi"]}, xc,
-                                             epi_cond,
-                                             rngs={"epi_slope": kj})
-                    a = tuple(a_list)
-                return xc, (xc, a)
-
-            x, (res_stacked, aux_stacked) = jax.lax.scan(
-                body, x, (stacked, keys))
-            res_states = [res_stacked[j] for j in range(self.num_layers)]
-            aux = _unstack_aux(aux_stacked, self.num_layers)
-            if self.add_downsample:
-                x = _unfold(Downsample2D(self.out_channels, dtype=cfg.dtype,
-                                         name="downsamplers_0")(_fold(x)), B)
+            x, res_states, aux = _scan_layer_group(
+                self, self._defs(temb.shape[-1]), range(self.num_layers), x,
+                B=B, temb_f=temb_f, pose_feature=pose_feature,
+                epi_cond=epi_cond, collect_res=True,
+            )
+        else:
+            for j in range(self.num_layers):
+                resnet, _, motion, epi = self._defs(temb.shape[-1], j)
+                x = _unfold(resnet(_fold(x), temb_f), B)
+                if motion is not None:
+                    x = motion(x, pose_feature)
+                if epi is not None:
+                    x, a = epi(x, epi_cond)
+                    aux += a
                 res_states.append(x)
-            return x, res_states, aux
-        for j in range(self.num_layers):
-            h = ResnetBlock2D(
-                self.out_channels, temb.shape[-1], cfg.norm_num_groups,
-                dtype=cfg.dtype, name=f"resnets_{j}",
-            )(_fold(x), temb_f)
-            x = _unfold(h, B)
-            if self.use_motion:
-                x = TemporalTransformer(
-                    self.out_channels, cfg.attention_heads,
-                    cfg.motion_num_transformer_blocks, cfg.motion_num_attention_blocks,
-                    cfg.motion_pe_max_len, cfg.pose_cond_attn_indices, cfg.pose_scale,
-                    cfg.motion_norm_groups, cfg.motion_zero_initialize,
-                    dtype=cfg.dtype, name=f"motion_modules_{j}",
-                )(x, pose_feature)
-            if self.use_epi:
-                x, a = EpiTransformer(
-                    self.out_channels, cfg.attention_heads,
-                    cfg.epi_num_transformer_blocks, cfg.epi_num_attention_blocks,
-                    cfg.epi_norm_groups, cfg.epi_zero_initialize,
-                    dtype=cfg.dtype, name=f"epi_modules_{j}",
-                )(x, epi_cond)
-                aux += a
-            res_states.append(x)
         if self.add_downsample:
             x = _unfold(Downsample2D(self.out_channels, dtype=cfg.dtype, name="downsamplers_0")(_fold(x)), B)
             res_states.append(x)
@@ -386,33 +355,18 @@ class MidBlock(nn.Module):
         temb_f = jnp.repeat(temb, x.shape[1], axis=0)
         context_f = jnp.repeat(context, x.shape[1], axis=0)
         aux: List[dict] = []
-        h = ResnetBlock2D(
-            self.channels, temb.shape[-1], cfg.norm_num_groups,
-            dtype=cfg.dtype, name="resnets_0",
-        )(_fold(x), temb_f)
-        h = Transformer2DModel(
-            self.channels, self.heads, self.channels // self.heads,
-            cross_attention_dim=self.cross_attention_dim,
-            extended_attention=cfg.spatial_extended_attention,
-            lora_rank=_lora_rank(cfg, self.channels),
-            groups=cfg.norm_num_groups, dtype=cfg.dtype, name="attentions_0",
-        )(h, context_f, lora_scale=lora_scale)
+        resnet0, attn, motion, epi = _layer_modules(
+            cfg, self.channels, temb.shape[-1], 0, heads=self.heads,
+            cross_dim=self.cross_attention_dim, with_attn=True,
+            with_motion=self.use_motion, with_epi=self.use_epi,
+        )
+        h = resnet0(_fold(x), temb_f)
+        h = attn(h, context_f, lora_scale=lora_scale)
         x = _unfold(h, B)
-        if self.use_motion:
-            x = TemporalTransformer(
-                self.channels, cfg.attention_heads,
-                cfg.motion_num_transformer_blocks, cfg.motion_num_attention_blocks,
-                cfg.motion_pe_max_len, cfg.pose_cond_attn_indices, cfg.pose_scale,
-                cfg.motion_norm_groups, cfg.motion_zero_initialize,
-                dtype=cfg.dtype, name="motion_modules_0",
-            )(x, pose_feature)
-        if self.use_epi:
-            x, a = EpiTransformer(
-                self.channels, cfg.attention_heads,
-                cfg.epi_num_transformer_blocks, cfg.epi_num_attention_blocks,
-                cfg.epi_norm_groups, cfg.epi_zero_initialize,
-                dtype=cfg.dtype, name="epi_modules_0",
-            )(x, epi_cond)
+        if motion is not None:
+            x = motion(x, pose_feature)
+        if epi is not None:
+            x, a = epi(x, epi_cond)
             aux += a
         h = ResnetBlock2D(
             self.channels, temb.shape[-1], cfg.norm_num_groups,
@@ -442,38 +396,27 @@ class CrossAttnUpBlock(nn.Module):
         context_f = jnp.repeat(context, x.shape[1], axis=0) if context is not None else None
         aux: List[dict] = []
 
+        def _defs(j=None):
+            return _layer_modules(cfg, self.out_channels, temb.shape[-1], j,
+                                  heads=self.heads,
+                                  cross_dim=self.cross_attention_dim,
+                                  with_attn=self.has_attention,
+                                  with_motion=self.use_motion,
+                                  with_epi=self.use_epi)
+
         def one_layer(x, j):
             """The original unrolled layer j (named submodules)."""
             res = res_states[-1 - j]
             x = jnp.concatenate([x, res], axis=-1)
-            h = ResnetBlock2D(
-                self.out_channels, temb.shape[-1], cfg.norm_num_groups,
-                dtype=cfg.dtype, name=f"resnets_{j}",
-            )(_fold(x), temb_f)
-            if self.has_attention:
-                h = Transformer2DModel(
-                    self.out_channels, self.heads, self.out_channels // self.heads,
-                    cross_attention_dim=self.cross_attention_dim,
-                    extended_attention=cfg.spatial_extended_attention,
-                    lora_rank=_lora_rank(cfg, self.out_channels),
-                    groups=cfg.norm_num_groups, dtype=cfg.dtype, name=f"attentions_{j}",
-                )(h, context_f, lora_scale=lora_scale)
+            resnet, attn, motion, epi = _defs(j)
+            h = resnet(_fold(x), temb_f)
+            if attn is not None:
+                h = attn(h, context_f, lora_scale=lora_scale)
             x = _unfold(h, B)
-            if self.use_motion:
-                x = TemporalTransformer(
-                    self.out_channels, cfg.attention_heads,
-                    cfg.motion_num_transformer_blocks, cfg.motion_num_attention_blocks,
-                    cfg.motion_pe_max_len, cfg.pose_cond_attn_indices, cfg.pose_scale,
-                    cfg.motion_norm_groups, cfg.motion_zero_initialize,
-                    dtype=cfg.dtype, name=f"motion_modules_{j}",
-                )(x, pose_feature)
-            if self.use_epi:
-                x, a = EpiTransformer(
-                    self.out_channels, cfg.attention_heads,
-                    cfg.epi_num_transformer_blocks, cfg.epi_num_attention_blocks,
-                    cfg.epi_norm_groups, cfg.epi_zero_initialize,
-                    dtype=cfg.dtype, name=f"epi_modules_{j}",
-                )(x, epi_cond)
+            if motion is not None:
+                x = motion(x, pose_feature)
+            if epi is not None:
+                x, a = epi(x, epi_cond)
                 aux.extend(a)
             return x
 
@@ -498,64 +441,13 @@ class CrossAttnUpBlock(nn.Module):
                 x = one_layer(x, j)
                 j += 1
                 continue
-            roles = {"resnet": "resnets"}
-            if self.has_attention:
-                roles["attn"] = "attentions"
-            if self.use_motion:
-                roles["motion"] = "motion_modules"
-            if self.use_epi:
-                roles["epi"] = "epi_modules"
-            stacked = _stack_layer_params(self.variables["params"], roles,
-                                          group)
             skips = jnp.stack([res_states[-1 - g] for g in group])
-            resnet_p = ResnetBlock2D(self.out_channels, temb.shape[-1],
-                                     cfg.norm_num_groups, dtype=cfg.dtype,
-                                     parent=None)
-            attn_p = Transformer2DModel(
-                self.out_channels, self.heads, self.out_channels // self.heads,
-                cross_attention_dim=self.cross_attention_dim,
-                extended_attention=cfg.spatial_extended_attention,
-                lora_rank=_lora_rank(cfg, self.out_channels),
-                groups=cfg.norm_num_groups, dtype=cfg.dtype, parent=None,
-            ) if self.has_attention else None
-            motion_p = TemporalTransformer(
-                self.out_channels, cfg.attention_heads,
-                cfg.motion_num_transformer_blocks,
-                cfg.motion_num_attention_blocks,
-                cfg.motion_pe_max_len, cfg.pose_cond_attn_indices,
-                cfg.pose_scale, cfg.motion_norm_groups,
-                cfg.motion_zero_initialize, dtype=cfg.dtype, parent=None,
-            ) if self.use_motion else None
-            epi_p = EpiTransformer(
-                self.out_channels, cfg.attention_heads,
-                cfg.epi_num_transformer_blocks, cfg.epi_num_attention_blocks,
-                cfg.epi_norm_groups, cfg.epi_zero_initialize,
-                dtype=cfg.dtype, parent=None,
-            ) if self.use_epi else None
-            keys = _scan_keys(self, len(group))
-
-            def body(xc, xs):
-                pj, skip, kj = xs
-                xc = jnp.concatenate([xc, skip], axis=-1)
-                h = resnet_p.apply({"params": pj["resnet"]}, _fold(xc),
-                                   temb_f)
-                if attn_p is not None:
-                    h = attn_p.apply({"params": pj["attn"]}, h, context_f,
-                                     lora_scale=lora_scale)
-                xc = _unfold(h, B)
-                if motion_p is not None:
-                    xc = motion_p.apply({"params": pj["motion"]}, xc,
-                                        pose_feature)
-                a = ()
-                if epi_p is not None:
-                    xc, a_list = epi_p.apply({"params": pj["epi"]}, xc,
-                                             epi_cond,
-                                             rngs={"epi_slope": kj})
-                    a = tuple(a_list)
-                return xc, a
-
-            x, aux_stacked = jax.lax.scan(body, x, (stacked, skips, keys))
-            aux.extend(_unstack_aux(aux_stacked, len(group)))
+            x, _, a = _scan_layer_group(
+                self, _defs(), group, x, B=B, temb_f=temb_f,
+                context_f=context_f, pose_feature=pose_feature,
+                epi_cond=epi_cond, lora_scale=lora_scale, skips=skips,
+            )
+            aux.extend(a)
             j = k + 1
         if self.add_upsample:
             x = _unfold(Upsample2D(self.out_channels, dtype=cfg.dtype, name="upsamplers_0")(_fold(x)), B)
