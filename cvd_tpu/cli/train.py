@@ -192,6 +192,10 @@ def main(args):
             dataset,
             batch_size=cfg.get("train_batch_size", 1),
             num_workers=cfg.get("num_workers", 8),
+            # "process" scales decode across host cores (the reference's
+            # num_workers=32 DataLoader, train_epi_control.py:298-306);
+            # "thread" (default) fits small hosts and tests
+            worker_type=cfg.get("worker_type", "thread"),
             seed=seed,
             process_index=jax.process_index(),
             process_count=jax.process_count(),

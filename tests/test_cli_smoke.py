@@ -127,6 +127,9 @@ def test_train_cli_webvid_smoke(tmp_path):
     out_dir = tmp_path / "run"
     cfg = _train_cfg(out_dir, {"dataset_name": "webvid10m",
                                "root_path": str(root)})
+    # exercise the forked-decode-worker path through the real trainer
+    cfg["num_workers"] = 2
+    cfg["worker_type"] = "process"
     cfg_path = tmp_path / "cfg.yaml"
     yaml.safe_dump(cfg, open(cfg_path, "w"))
     main(build_parser().parse_args(["--config", str(cfg_path)]))
