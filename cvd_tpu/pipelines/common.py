@@ -89,12 +89,17 @@ class PipelineModules:
     ) -> "PipelineModules":
         """Random-init bundle (weights loaded separately via cvd_tpu.io).
 
-        fast_init=True skips the device-side flax init entirely: parameter
-        SHAPES come from jax.eval_shape (no compile, no device op) and
-        values are host-generated scaled gaussians shipped once. For
-        benchmarking and smoke runs — per-param init distributions are NOT
-        flax-faithful (timing and FLOPs are weight-independent). Cuts
-        bundle init from ~38 s (remote-TPU jit init) to host memcpy time.
+        fast_init=True skips the full flax init entirely: parameter SHAPES
+        come from jax.eval_shape (no compile, no device op) and values are
+        fan-in-scaled uniforms. On an accelerator backend they are generated
+        ON DEVICE by one jitted RNG program (persistently cached) — zero
+        host->device transfer, which matters over a remote-TPU tunnel where
+        shipping the ~8 GB f32 bundle costs ~300 s at ~25 MB/s. On CPU (the
+        test mesh) values are host-generated instead: a ~1400-leaf threefry
+        program is slower to compile on XLA:CPU than a host memcpy. Override
+        with CVD_TPU_FAST_INIT=host|device. For benchmarking and smoke runs
+        — per-param init distributions are NOT flax-faithful (timing and
+        FLOPs are weight-independent).
         """
         from cvd_tpu.models.epi import EpiConditioning
 
@@ -105,26 +110,71 @@ class PipelineModules:
                 pose_encoder_kwargs=pose_encoder_kwargs,
                 latent_size=latent_size, video_length=video_length,
             )
+            import os
+
             import numpy as np
 
-            host_rng = np.random.default_rng(0)
+            where = os.environ.get(
+                "CVD_TPU_FAST_INIT",
+                "host" if jax.default_backend() == "cpu" else "device",
+            )
 
-            def materialize(tree):
-                leaves, treedef = jax.tree_util.tree_flatten(tree)
-                out = []
-                for s in leaves:
-                    if jnp.issubdtype(s.dtype, jnp.floating):
-                        # fan-in-scaled so activations stay O(1) at depth;
-                        # uniform f32 (3-4x faster host gen than gaussian,
-                        # distribution is irrelevant for timing/FLOPs)
-                        fan = s.shape[-2] if len(s.shape) >= 2 else max(s.shape[-1], 1)
-                        scale = float(3.0 ** 0.5 / np.sqrt(fan))  # unit var
-                        arr = (host_rng.random(s.shape, dtype=np.float32)
-                               * (2 * scale) - scale).astype(s.dtype)
-                    else:
-                        arr = np.zeros(s.shape, s.dtype)
-                    out.append(jnp.asarray(arr))
-                return jax.tree_util.tree_unflatten(treedef, out)
+            def _fan_scale(s):
+                # fan-in-scaled so activations stay O(1) at depth; uniform
+                # (distribution is irrelevant for timing/FLOPs), unit var
+                fan = s.shape[-2] if len(s.shape) >= 2 else max(s.shape[-1], 1)
+                return float(3.0 ** 0.5 / np.sqrt(fan))
+
+            if where == "device":
+                def materialize(tree):
+                    leaves, treedef = jax.tree_util.tree_flatten(tree)
+
+                    # ONE threefry draw for the whole bundle, then static
+                    # slice+scale+reshape per leaf: a per-leaf jax.random
+                    # call would put ~1400 threefry expansions in the HLO
+                    # and take minutes to compile; this compiles in seconds
+                    def gen():
+                        total = sum(
+                            int(np.prod(s.shape))
+                            for s in leaves
+                            if jnp.issubdtype(s.dtype, jnp.floating)
+                        )
+                        u = jax.random.uniform(
+                            jax.random.key(0), (max(total, 1),),
+                            jnp.float32, -1.0, 1.0,
+                        )
+                        out, off = [], 0
+                        for s in leaves:
+                            if jnp.issubdtype(s.dtype, jnp.floating):
+                                n = int(np.prod(s.shape))
+                                chunk = jax.lax.slice(u, (off,), (off + n,))
+                                out.append(
+                                    (chunk.reshape(s.shape) * _fan_scale(s))
+                                    .astype(s.dtype)
+                                )
+                                off += n
+                            else:
+                                out.append(jnp.zeros(s.shape, s.dtype))
+                        return out
+
+                    return jax.tree_util.tree_unflatten(
+                        treedef, jax.jit(gen)()
+                    )
+            else:
+                host_rng = np.random.default_rng(0)
+
+                def materialize(tree):
+                    leaves, treedef = jax.tree_util.tree_flatten(tree)
+                    out = []
+                    for s in leaves:
+                        if jnp.issubdtype(s.dtype, jnp.floating):
+                            scale = _fan_scale(s)
+                            arr = (host_rng.random(s.shape, dtype=np.float32)
+                                   * (2 * scale) - scale).astype(s.dtype)
+                        else:
+                            arr = np.zeros(s.shape, s.dtype)
+                        out.append(jnp.asarray(arr))
+                    return jax.tree_util.tree_unflatten(treedef, out)
 
             unet_config = unet_config or UNetConfig()
             vae_config = vae_config or VAEConfig()

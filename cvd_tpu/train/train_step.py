@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from cvd_tpu.models.epi import EpiConditioning
 from cvd_tpu.pipelines.common import PipelineModules, VAE_SCALE
 from cvd_tpu.train.losses import epi_distance_loss, masked_mse_loss
-from cvd_tpu.train.state import TrainState
+from cvd_tpu.train.state import TRAINABLE_SUBSTRINGS, TrainState, trainable_mask
 
 
 def train_step(
@@ -30,6 +30,7 @@ def train_step(
     num_train_timesteps: int = 1000,
     use_flash_kernel: Optional[bool] = None,
     remat: bool = True,
+    trainable_substrings=TRAINABLE_SUBSTRINGS,
 ):
     """One optimization step.
 
@@ -104,7 +105,17 @@ def train_step(
 
         unet = UNet3DConditionModel(dataclasses.replace(unet.config, remat=True))
 
+    # stop_gradient on every frozen UNet leaf: the cotangents become symbolic
+    # zeros, so XLA never builds the frozen weight-gradient matmuls or their
+    # f32 accumulation buffers — without this, differentiating the full tree
+    # needs ~17.7 GB HBM at B=4/16f/256px and OOMs a 16 GB chip
+    freeze = trainable_mask(state.params, trainable_substrings)
+
     def loss_fn(params):
+        params = jax.tree_util.tree_map(
+            lambda p, keep: p if keep else jax.lax.stop_gradient(p),
+            params, freeze,
+        )
         pred, extras = unet.apply(
             params, noisy, timesteps, text, pose_feats, epi_cond,
             lora_scale=lora_scale,
