@@ -7,6 +7,18 @@ In simple mode a partial line (same metric, "partial": true) is emitted as
 soon as the end-to-end number is known, so a driver timeout mid-way still
 leaves a parsable number.
 
+Output contract (BENCH_r03 post-mortem): every stdout line this script
+emits is bounded-size. Error strings are truncated to their first line,
+<=200 chars (a JAX RESOURCE_EXHAUSTED message embeds XLA's multi-hundred-KB
+HBM dump; one such line blew the driver's tail capture in round 3), and the
+compact headline is ALWAYS re-emitted as the absolute last line.
+
+The default mode is an ORCHESTRATOR that never imports jax itself: it runs
+the inference measurement and the training-iteration measurement as two
+subprocesses (each gets a fresh TPU client, so the train phase can never
+inherit the inference session's HBM — the round-3 OOM), streams their
+stdout through line-by-line, and finally emits the combined headline.
+
 vs_baseline is the ratio against the BASELINE.md north star expressed per
 chip: 2 videos in <20 s on v5e-8 -> 0.75 videos/min/chip if scaling were
 linear; we hold ONE chip to the full 2-videos-in-20s bar (6 videos/min),
@@ -44,7 +56,8 @@ import time
 
 import numpy as np
 
-INIT_WATCHDOG_SECONDS = 150
+INIT_WATCHDOG_SECONDS = 240  # healthy remote init measured at 110-130s;
+# 150s fired spuriously (r04 smoke) and burned a 60s retry sleep
 
 # substrings that mark an error as a transient remote-backend failure worth
 # one retry; anything else (shape errors, OOM-by-design, bad flags) re-raises
@@ -87,6 +100,14 @@ def _watchdog(seconds: int, what: str):
 def _is_transient(e: BaseException) -> bool:
     s = f"{type(e).__name__}: {e}"
     return any(m in s for m in _TRANSIENT_MARKERS)
+
+
+def _short_err(e) -> str:
+    """First line of an error, <=200 chars. NEVER embed a raw exception in
+    an emitted JSON line: XLA's RESOURCE_EXHAUSTED carries the full
+    per-buffer HBM dump and one such line destroyed BENCH_r03's tail."""
+    s = f"{type(e).__name__}: {e}" if isinstance(e, BaseException) else str(e)
+    return s.splitlines()[0][:200] if s else "unknown error"
 
 
 def _sync(x):
@@ -318,6 +339,109 @@ def _time_decode(modules, dtype, rows, frames, latent):
     return float(np.median(dts))
 
 
+def _run_phase(cmd, timeout_s, to_stderr=False):
+    """Run one measurement subprocess, stream its stdout through (so its
+    partial/headline lines reach the driver even if WE are later killed),
+    and return (last_parsed_json_or_None, short_error_or_None).
+
+    to_stderr: route the child's lines to OUR stderr instead of stdout —
+    used for the train phase so that a driver kill arriving mid-phase can
+    never leave a train_iter_ms row as the last stdout line in place of
+    the headline metric (the combined headline re-emits the train fields).
+    """
+    import subprocess
+    import threading
+
+    _note(f"phase: {' '.join(cmd[2:])}")
+    last = None
+    timed_out = threading.Event()
+    try:
+        # binary pipe: BufferedReader.readline yields at each newline,
+        # while the text-mode TextIOWrapper chunk-buffers lines from a
+        # still-running child. stderr=None inherits the real fd (a pytest
+        # capsys replacement object has no fileno, so sys.stderr won't do).
+        proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=None)
+
+        def _kill():  # a silently hung child must not eat the whole window
+            timed_out.set()
+            proc.kill()
+
+        timer = threading.Timer(timeout_s, _kill)
+        timer.start()
+        try:
+            for raw in iter(proc.stdout.readline, b""):
+                line = raw.decode("utf-8", "replace").rstrip("\n")
+                if len(line) > 4096:  # never pass a giant line through
+                    line = line[:4096]
+                print(line, flush=True,
+                      file=sys.stderr if to_stderr else sys.stdout)
+                if line.startswith("{"):
+                    try:
+                        last = json.loads(line)
+                    except ValueError:
+                        pass
+            rc = proc.wait(timeout=60)
+        finally:
+            timer.cancel()
+        if timed_out.is_set():
+            return last, f"phase timeout after {timeout_s}s"
+        if rc != 0:
+            return last, f"phase exited rc={rc}"
+        return last, None
+    except Exception as e:  # noqa: BLE001
+        return last, _short_err(e)
+
+
+def _orchestrate(args):
+    """Default mode: inference phase + training phase as two subprocesses.
+
+    Each phase gets a FRESH TPU client — the round-3 failure was the train
+    row OOMing inside the process that still held the inference session's
+    buffers/executables. The compact combined headline is the last line."""
+    common = ["--steps", str(args.steps), "--frames", str(args.frames),
+              "--size", str(args.size), "--repeats", str(args.repeats)]
+    for flag in ("f32", "tiny", "scan_layers"):
+        if getattr(args, flag):
+            common.append("--" + flag.replace("_", "-"))
+    py = [sys.executable, __file__]
+
+    headline, err = _run_phase(py + common + ["--no-train-row"],
+                               timeout_s=2400)
+    if headline is None:
+        # nothing parsable from the inference phase: emit a bounded error
+        # line so the driver artifact is at least diagnosable
+        _emit({"metric": "videos_per_min_per_chip", "value": None,
+               "unit": "videos/min", "vs_baseline": None,
+               "error": _short_err(err or "no output")})
+        sys.exit(1)
+    headline.pop("partial", None)
+
+    train_row, terr = _run_phase(py + common + ["--train"], timeout_s=900,
+                                 to_stderr=True)
+    if (train_row is None or train_row.get("metric") != "train_iter_ms") \
+            and not args.tiny:
+        # degrade instead of erroring into the artifact: a tiny-model train
+        # row still proves the train path runs on the chip this round
+        _note(f"full-size train row failed ({_short_err(terr or 'n/a')}); "
+              "degrading to --tiny")
+        train_row, terr2 = _run_phase(py + common + ["--train", "--tiny"],
+                                      timeout_s=600, to_stderr=True)
+        if train_row is not None and train_row.get("metric") == "train_iter_ms":
+            train_row["degraded"] = "tiny"
+        terr = terr or terr2
+    if train_row is not None and train_row.get("metric") == "train_iter_ms":
+        headline["train_iter_ms"] = train_row.get("value")
+        if train_row.get("degraded"):
+            headline["train_row_degraded"] = train_row["degraded"]
+        if "train_mfu" in train_row:
+            headline["train_mfu"] = train_row["train_mfu"]
+        if "compile_seconds" in train_row:
+            headline["train_compile_seconds"] = train_row["compile_seconds"]
+    if terr:
+        headline["train_row_error"] = _short_err(terr)
+    _emit(headline)  # the absolute last stdout line, bounded by construction
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=25)
@@ -356,6 +480,13 @@ def main():
                    help="skip the training-iteration phase the default "
                         "mode appends after the inference result")
     args = p.parse_args()
+
+    if not (args.advanced or args.train or args.split_decode
+            or args.warm_only or args.no_train_row):
+        # default mode: orchestrate the two measurement subprocesses; this
+        # parent never imports jax (see _orchestrate docstring)
+        _orchestrate(args)
+        return
 
     from cvd_tpu.utils.cache import enable_compilation_cache
 
@@ -534,28 +665,6 @@ def main():
             result["mfu"] = round(flops / step_s / V5E_PEAK_BF16_FLOPS, 3)
     _emit(result)
 
-    if (not args.advanced and not args.split_decode
-            and not args.no_train_row):
-        # append the training-iteration measurement to the driver artifact.
-        # Runs AFTER every inference line is flushed, so a failure or
-        # timeout here can never cost the headline; the last stdout line
-        # re-emits the headline with the train fields embedded (drivers
-        # that keep the last parsable line still see the headline metric).
-        try:
-            del run_pipe, run       # release the inference bundle before a
-            pipe = modules = None   # second (f32-master) bundle is built
-            train_args = argparse.Namespace(**vars(args))
-            train_args.train = True  # keep f32 master weights in build
-            t_modules, t_init_s = _build_modules(train_args, dtype)
-            row = _bench_train(train_args, t_modules, t_init_s)
-            result["train_iter_ms"] = row["value"]
-            if "train_mfu" in row:
-                result["train_mfu"] = row["train_mfu"]
-            result["train_compile_seconds"] = row["compile_seconds"]
-        except Exception as e:  # noqa: BLE001
-            result["train_row_error"] = f"{type(e).__name__}: {e}"
-            _note(f"train row failed: {result['train_row_error']}")
-        _emit(result)
 
 
 if __name__ == "__main__":

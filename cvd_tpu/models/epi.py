@@ -86,8 +86,14 @@ def _epi_lines(
 
 def _uniform_slope(rng: Optional[jax.Array], shape) -> jnp.ndarray:
     if rng is None:
-        # deterministic fallback: horizontal-ish line at 0 rad
-        return jnp.zeros(shape, jnp.float32)
+        # match _require_slope on the materialized-bias path
+        # (geometry/epipolar_mask.py): a caller that forgot the rng stream
+        # must fail loudly, not get deterministic pseudo-lines
+        raise ValueError(
+            "pseudo-epipolar lines need a random slope: pass "
+            "rngs={'epi_slope': key} to apply() (the reference draws "
+            "torch.rand per call, epi_module.py:316)"
+        )
     return jax.random.uniform(rng, shape, minval=0.0, maxval=jnp.pi)
 
 
@@ -165,11 +171,14 @@ class EpiSelfAttention(nn.Module):
                 or (cond.F_mats is not None and cond.rand_slope_ff)
                 or (cond.F_mats is None and cond.H_mats is None)
             )
-            rng = (
-                self.make_rng("epi_slope")
-                if needs_rng and self.has_rng("epi_slope")
-                else None
-            )
+            if needs_rng and not self.has_rng("epi_slope"):
+                raise ValueError(
+                    "this epi conditioning draws random slopes (H_mats / "
+                    "rand_slope_ff / pose-free) but no 'epi_slope' rng "
+                    "stream was provided; pass rngs={'epi_slope': key} to "
+                    "apply()"
+                )
+            rng = self.make_rng("epi_slope") if needs_rng else None
             lines = _epi_lines(cond, B, feat_size, rng)
 
         inner = C

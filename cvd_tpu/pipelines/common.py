@@ -118,6 +118,11 @@ class PipelineModules:
                 "CVD_TPU_FAST_INIT",
                 "host" if jax.default_backend() == "cpu" else "device",
             )
+            if where not in ("host", "device"):
+                raise ValueError(
+                    f"CVD_TPU_FAST_INIT={where!r}: expected 'host' or "
+                    "'device' (a typo would silently select the host path)"
+                )
 
             def _fan_scale(s):
                 # fan-in-scaled so activations stay O(1) at depth; uniform
@@ -126,13 +131,24 @@ class PipelineModules:
                 return float(3.0 ** 0.5 / np.sqrt(fan))
 
             if where == "device":
+                module_counter = [0]
+
                 def materialize(tree):
                     leaves, treedef = jax.tree_util.tree_flatten(tree)
+                    # distinct stream per module (unet/vae/clip/pose) — the
+                    # host path advances one RNG across modules; a fixed
+                    # key(0) here would give every module overlapping values
+                    module_index = module_counter[0]
+                    module_counter[0] += 1
 
                     # ONE threefry draw for the whole bundle, then static
                     # slice+scale+reshape per leaf: a per-leaf jax.random
                     # call would put ~1400 threefry expansions in the HLO
-                    # and take minutes to compile; this compiles in seconds
+                    # and take minutes to compile; this compiles in seconds.
+                    # NOTE: the flat buffer `u` stays live while the slices
+                    # are produced, so peak init memory is ~2x the module's
+                    # floating-param bytes (transient; fine on 16 GB chips
+                    # at SD1.5 scale — chunk the draw if that ever changes)
                     def gen():
                         total = sum(
                             int(np.prod(s.shape))
@@ -140,7 +156,8 @@ class PipelineModules:
                             if jnp.issubdtype(s.dtype, jnp.floating)
                         )
                         u = jax.random.uniform(
-                            jax.random.key(0), (max(total, 1),),
+                            jax.random.fold_in(jax.random.key(0), module_index),
+                            (max(total, 1),),
                             jnp.float32, -1.0, 1.0,
                         )
                         out, off = [], 0

@@ -35,6 +35,14 @@ class TrainState:
     params: Any
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # the substrings the optimizer's multi_transform labels were built from;
+    # train_step derives its stop_gradient mask from THIS field so the two
+    # masks cannot diverge (round-3 advisor finding: a custom value passed
+    # to create_train_state but not to train_step would silently zero grads
+    # for params the optimizer considers trainable)
+    trainable_substrings: Tuple[str, ...] = struct.field(
+        pytree_node=False, default=TRAINABLE_SUBSTRINGS
+    )
 
     def apply_gradients(self, grads) -> "TrainState":
         updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
@@ -101,4 +109,5 @@ def create_train_state(
         params=params,
         opt_state=tx.init(params),
         tx=tx,
+        trainable_substrings=tuple(trainable_substrings),
     )

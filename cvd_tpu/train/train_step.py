@@ -15,7 +15,7 @@ import jax.numpy as jnp
 from cvd_tpu.models.epi import EpiConditioning
 from cvd_tpu.pipelines.common import PipelineModules, VAE_SCALE
 from cvd_tpu.train.losses import epi_distance_loss, masked_mse_loss
-from cvd_tpu.train.state import TRAINABLE_SUBSTRINGS, TrainState, trainable_mask
+from cvd_tpu.train.state import TrainState, trainable_mask
 
 
 def train_step(
@@ -30,7 +30,6 @@ def train_step(
     num_train_timesteps: int = 1000,
     use_flash_kernel: Optional[bool] = None,
     remat: bool = True,
-    trainable_substrings=TRAINABLE_SUBSTRINGS,
 ):
     """One optimization step.
 
@@ -109,7 +108,10 @@ def train_step(
     # zeros, so XLA never builds the frozen weight-gradient matmuls or their
     # f32 accumulation buffers — without this, differentiating the full tree
     # needs ~17.7 GB HBM at B=4/16f/256px and OOMs a 16 GB chip
-    freeze = trainable_mask(state.params, trainable_substrings)
+    # derived from the SAME substrings the optimizer's multi_transform labels
+    # were built from (stored on TrainState), so the stop_gradient mask and
+    # the update mask cannot diverge
+    freeze = trainable_mask(state.params, state.trainable_substrings)
 
     def loss_fn(params):
         params = jax.tree_util.tree_map(

@@ -43,10 +43,10 @@ run step_profile 2400 python scripts/step_profile.py
 run warm_default 2400 python bench.py --warm-only
 # 6b. layer-dedup compile A/B (fresh process each; step time must hold)
 run warm_scan 2400 python bench.py --warm-only --scan-layers
-run bench_scan 3000 python bench.py --scan-layers
+run bench_scan 3000 python bench.py --scan-layers --no-train-row
 run warm_gated 2400 env CVD_TPU_GN_MIN_BYTES=8388608 \
   CVD_TPU_LNMM_MIN_BYTES=8388608 python bench.py --warm-only
 run bench_gated 3000 env CVD_TPU_GN_MIN_BYTES=8388608 \
-  CVD_TPU_LNMM_MIN_BYTES=8388608 python bench.py
+  CVD_TPU_LNMM_MIN_BYTES=8388608 python bench.py --no-train-row
 
 echo "queue done ($(date -u +%H:%M:%S))" | tee -a "$OUT/queue.log"

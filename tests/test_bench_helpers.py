@@ -114,3 +114,167 @@ def test_bench_import_does_not_touch_jax():
         env={**os.environ, "PYTHONPATH": ""},
     )
     assert r.returncode == 0, r.stderr
+
+
+# ------------------------------------------------------------- _short_err
+def test_short_err_truncates_xla_hbm_dump():
+    """BENCH_r03 post-mortem: a RESOURCE_EXHAUSTED message carrying XLA's
+    multi-hundred-KB per-buffer HBM dump was embedded verbatim in the final
+    stdout line and blew the driver's tail capture. Every emitted error
+    field must be first-line-only and <=200 chars."""
+    dump = ("RESOURCE_EXHAUSTED: Out of memory while trying to allocate "
+            "16106127360 bytes." + "x" * 500 + "\n"
+            + "\n".join(f"  buffer {i}: 123MB f32[4,320,16,32,32]"
+                        for i in range(5000)))
+    s = bench._short_err(RuntimeError(dump))
+    assert len(s) <= 200
+    assert "\n" not in s
+    assert s.startswith("RuntimeError: RESOURCE_EXHAUSTED")
+
+
+def test_short_err_accepts_strings_and_empty():
+    assert bench._short_err("phase timeout after 900s") == \
+        "phase timeout after 900s"
+    assert bench._short_err("") == "unknown error"
+
+
+# ------------------------------------------------------------- _run_phase
+def _fake_child(code):
+    return [sys.executable, "-c", code]
+
+
+def test_run_phase_streams_and_parses_last_json(capsys):
+    code = ("import json\n"
+            "print('[bench] note line')\n"
+            "print(json.dumps({'metric': 'm', 'value': 1, 'partial': True}))\n"
+            "print(json.dumps({'metric': 'm', 'value': 2}))\n")
+    last, err = bench._run_phase(_fake_child(code), timeout_s=60)
+    assert err is None
+    assert last == {"metric": "m", "value": 2}
+    out = capsys.readouterr().out.splitlines()
+    # every child line was streamed through (driver sees partials live)
+    assert "[bench] note line" in out
+    assert json.loads(out[-1])["value"] == 2
+
+
+def test_run_phase_nonzero_exit_keeps_partial(capsys):
+    code = ("import json, sys\n"
+            "print(json.dumps({'metric': 'm', 'value': 7, 'partial': True}))\n"
+            "sys.exit(3)\n")
+    last, err = bench._run_phase(_fake_child(code), timeout_s=60)
+    assert last == {"metric": "m", "value": 7, "partial": True}
+    assert err == "phase exited rc=3"
+
+
+def test_run_phase_kills_hung_child(capsys):
+    code = ("import json, time\n"
+            "print(json.dumps({'metric': 'm', 'value': 5}), flush=True)\n"
+            "time.sleep(600)\n")
+    t0 = time.time()
+    # interpreter startup is ~2.5s in this container; 15s is ample for the
+    # child to print its line yet far below the 600s it would hang for
+    last, err = bench._run_phase(_fake_child(code), timeout_s=15)
+    assert time.time() - t0 < 60
+    assert last == {"metric": "m", "value": 5}
+    assert "timeout" in err
+
+
+def test_run_phase_truncates_giant_lines(capsys):
+    code = "print('y' * 500000)"
+    bench._run_phase(_fake_child(code), timeout_s=60)
+    out = capsys.readouterr().out.splitlines()
+    assert max(len(l) for l in out) <= 4096
+
+
+# ----------------------------------------------------------- _orchestrate
+def _orch_args(**kw):
+    import argparse
+
+    base = dict(steps=25, frames=16, size=256, repeats=3, f32=False,
+                tiny=False, scan_layers=False)
+    base.update(kw)
+    return argparse.Namespace(**base)
+
+
+def test_orchestrate_headline_is_last_and_bounded(monkeypatch, capsys):
+    calls = []
+
+    def fake_run_phase(cmd, timeout_s, to_stderr=False):
+        calls.append(cmd)
+        if "--train" in cmd:
+            return ({"metric": "train_iter_ms", "value": 580.0,
+                     "train_mfu": 0.2, "compile_seconds": 30.0}, None)
+        return ({"metric": "videos_per_min_per_chip", "value": 18.8,
+                 "unit": "videos/min", "vs_baseline": 3.1,
+                 "partial": True}, None)
+
+    monkeypatch.setattr(bench, "_run_phase", fake_run_phase)
+    bench._orchestrate(_orch_args())
+    lines = capsys.readouterr().out.strip().splitlines()
+    final = json.loads(lines[-1])
+    assert final["metric"] == "videos_per_min_per_chip"
+    assert final["train_iter_ms"] == 580.0
+    assert final["train_mfu"] == 0.2
+    assert "partial" not in final  # the re-emitted headline is final
+    assert len(lines[-1]) < 4096
+    assert len(calls) == 2  # inference then train, no tiny retry
+
+
+def test_orchestrate_degrades_train_to_tiny(monkeypatch, capsys):
+    calls = []
+
+    def fake_run_phase(cmd, timeout_s, to_stderr=False):
+        calls.append(cmd)
+        if "--train" in cmd and "--tiny" in cmd:
+            return ({"metric": "train_iter_ms", "value": 33.0}, None)
+        if "--train" in cmd:
+            return (None, "phase exited rc=1")
+        return ({"metric": "videos_per_min_per_chip", "value": 18.8}, None)
+
+    monkeypatch.setattr(bench, "_run_phase", fake_run_phase)
+    bench._orchestrate(_orch_args())
+    final = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert final["train_iter_ms"] == 33.0
+    assert final["train_row_degraded"] == "tiny"
+    assert final["train_row_error"] == "phase exited rc=1"
+    assert len(calls) == 3
+
+
+def test_orchestrate_train_failure_never_floods_headline(monkeypatch, capsys):
+    giant = "RESOURCE_EXHAUSTED: " + "b" * 100000
+
+    def fake_run_phase(cmd, timeout_s, to_stderr=False):
+        if "--train" in cmd:
+            return (None, giant)
+        return ({"metric": "videos_per_min_per_chip", "value": 18.8}, None)
+
+    monkeypatch.setattr(bench, "_run_phase", fake_run_phase)
+    bench._orchestrate(_orch_args())
+    last = capsys.readouterr().out.strip().splitlines()[-1]
+    assert len(last) < 1000
+    final = json.loads(last)
+    assert final["metric"] == "videos_per_min_per_chip"
+    assert len(final["train_row_error"]) <= 200
+
+
+def test_orchestrate_no_inference_headline_exits_nonzero(monkeypatch, capsys):
+    monkeypatch.setattr(bench, "_run_phase",
+                        lambda cmd, timeout_s, to_stderr=False: (None, "phase exited rc=137"))
+    with pytest.raises(SystemExit) as ei:
+        bench._orchestrate(_orch_args())
+    assert ei.value.code == 1
+    final = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert final["error"] == "phase exited rc=137"
+    assert final["metric"] == "videos_per_min_per_chip"
+
+
+def test_run_phase_to_stderr_keeps_stdout_clean(capsys):
+    """The train phase streams to stderr: a driver kill mid-train-phase must
+    never leave a train_iter_ms row as the last STDOUT line in place of the
+    headline metric."""
+    code = ("import json\n"
+            "print(json.dumps({'metric': 'train_iter_ms', 'value': 9}))\n")
+    last, err = bench._run_phase(_fake_child(code), timeout_s=60,
+                                 to_stderr=True)
+    assert err is None and last == {"metric": "train_iter_ms", "value": 9}
+    assert capsys.readouterr().out == ""  # nothing on stdout

@@ -185,3 +185,26 @@ def test_unet_jit_compiles_and_is_deterministic(tiny_unet):
     o2 = f(params, sample)
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
     assert np.isfinite(np.asarray(o1)).all()
+
+
+def test_epi_missing_slope_rng_raises():
+    """A caller that forgets rngs={'epi_slope': ...} on a conditioning that
+    draws random slopes must fail loudly — not get deterministic
+    pseudo-lines (round-3 advisor finding: the module path silently pinned
+    slope 0 while the materialized-bias path raised)."""
+    mod = EpiTransformer(in_channels=32, heads=4, norm_groups=8)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((4, 2, 4, 4, 32)), jnp.float32
+    )
+    F_mats = jnp.asarray(
+        np.random.default_rng(1).standard_normal((8, 3, 3)) * 1e-3, jnp.float32
+    )
+    cond = EpiConditioning(F_mats=F_mats, video_length=2, rand_slope_ff=True)
+    params = mod.init(
+        {"params": jax.random.key(0), "epi_slope": jax.random.key(1)}, x, cond
+    )
+    with pytest.raises(ValueError, match="epi_slope"):
+        mod.apply(params, x, cond)  # no rngs -> loud failure
+    # and the rng-provided path still works
+    out, _ = mod.apply(params, x, cond, rngs={"epi_slope": jax.random.key(2)})
+    assert out.shape == x.shape
