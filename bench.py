@@ -191,10 +191,13 @@ def _build_modules(args, dtype):
         latent_size=args.size // 8, video_length=args.frames,
         fast_init=True,
     )
-    if not args.f32 and not args.train:
+    if not args.f32:
         # bf16 weights, matching the CLIs' --bf16 deployment: halves the
         # resident bundle (7.9 -> 4.0 GiB) and per-step weight HBM reads.
-        # Training keeps f32 master weights (bf16 compute via module dtype).
+        # Training: the train state upcasts the TRAINABLE leaves back to
+        # f32 masters (create_train_state frozen_dtype) — an f32 copy of
+        # the frozen 4.8 GiB is what OOM'd the round-3/4 full-size train
+        # row (17.65 GiB > 15.75 GiB HBM).
         modules.cast_params()
     init_s = time.time() - t0
     _note(f"init done in {init_s:.1f}s")
@@ -267,7 +270,13 @@ def _bench_train(args, modules, init_s):
         "plucker": jnp.asarray(plucker[:B], jnp.float32),
         "F_mats": F_mats,
     }
-    state = create_train_state(modules.unet_params)
+    state = create_train_state(
+        modules.unet_params,
+        frozen_dtype=None if args.f32 else jnp.bfloat16,
+    )
+    # drop the module's own reference so the pre-state tree can be freed
+    # (frozen leaves alias the bf16 bundle; trainable leaves were upcast)
+    modules.unet_params = state.params
     step_fn = make_jitted_train_step(modules, None, F_mat_size=IMG)
 
     _note("compiling training step")

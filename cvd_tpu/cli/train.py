@@ -212,6 +212,14 @@ def main(args):
 
     # -- state + mesh ---------------------------------------------------------
     mesh = create_mesh()
+    # mixed precision: frozen UNet leaves stored in bf16, trainable leaves
+    # kept as f32 masters (the reference's AMP reads frozen weights in fp16,
+    # train_epi_control.py:589-599). Full-size 16f/256px training does NOT
+    # fit a 16 GB chip with f32 frozen masters (17.65 GiB peak).
+    frozen_dtype = {
+        "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+        "float32": None, "f32": None,
+    }[cfg.get("frozen_weights_dtype", "bfloat16")]
     state = create_train_state(
         modules.unet_params,
         learning_rate=cfg.get("learning_rate", 1e-4),
@@ -220,7 +228,10 @@ def main(args):
         scheduler=cfg.get("lr_scheduler", "constant"),
         warmup_steps=cfg.get("lr_warmup_steps", 0),
         total_steps=cfg.get("max_train_steps", 100_000),
+        frozen_dtype=frozen_dtype,
     )
+    # free the pre-cast tree: frozen leaves now live in the state (bf16)
+    modules.unet_params = state.params
     global_step, epoch = 0, 0
     if cfg.get("resume_from"):
         state, meta = restore_orbax(cfg["resume_from"], state)

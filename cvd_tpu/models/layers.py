@@ -348,8 +348,11 @@ class Attention(nn.Module):
 
             ok = flash_supported(Lq, Lk, inner, self.heads)
             if SHARD_MESH is not None:
+                from cvd_tpu.parallel.shard_ops import flat_batch_axes
+
                 use_sharded = (
                     ok and encoder_hidden_states is None
+                    and flat_batch_axes(SHARD_MESH) is not None
                     and B % SHARD_MESH.size == 0
                 )
             else:

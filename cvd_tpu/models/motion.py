@@ -125,11 +125,12 @@ class TemporalSelfAttention(nn.Module):
             _layers.FLASH_SPATIAL
             and temporal_flash_supported(F, N, C, self.heads)
         )
-        use_sharded = (
-            supported and mesh is not None
-            and B % mesh.shape["rows"] == 0
-            and F % mesh.shape["frames"] == 0
-        )
+        if mesh is not None:
+            from cvd_tpu.parallel.shard_ops import temporal_mesh_ok
+
+            use_sharded = supported and temporal_mesh_ok(mesh, B, F)
+        else:
+            use_sharded = False
         use_kernel = (
             supported and mesh is None and jax.default_backend() == "tpu"
         )

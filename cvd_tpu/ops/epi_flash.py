@@ -354,10 +354,17 @@ def _bwd_call(q, k, v, geom, kv_index, out, lse, g, q_tile, H):
     )(kv_index.astype(jnp.int32), *args)
 
     if routed:
-        # scatter-add back to source rows (inverse permutation for the
-        # 2-view swap; general kv routing may hit a row multiple times)
-        dk = jnp.zeros_like(dk_g).at[kv_index].add(dk_g)
-        dv = jnp.zeros_like(dv_g).at[kv_index].add(dv_g)
+        # scatter-add back to SOURCE rows (inverse permutation for the
+        # 2-view swap; general kv routing may hit a row multiple times).
+        # The target is shaped like k — its row count can exceed the query
+        # batch B (sharded training: local queries route into an
+        # all-gathered kv block, parallel/shard_ops.py)
+        dk = jnp.zeros(
+            (k.shape[0],) + dk_g.shape[1:], dk_g.dtype
+        ).at[kv_index].add(dk_g)
+        dv = jnp.zeros(
+            (v.shape[0],) + dv_g.shape[1:], dv_g.dtype
+        ).at[kv_index].add(dv_g)
     else:
         dk, dv = dk_g, dv_g
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)

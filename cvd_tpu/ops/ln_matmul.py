@@ -169,6 +169,13 @@ def layer_norm_matmul(
         splits.append(acc)
 
     on_tpu = jax.default_backend() == "tpu"
+    if not force_kernel:
+        # bare pallas_call under GSPMD forces operand replication; LN+matmul
+        # is row-local so mesh programs take the XLA path (see ops/norms.py)
+        from cvd_tpu.ops.norms import _under_mesh
+
+        if _under_mesh():
+            on_tpu = False
     if (on_tpu or force_kernel) and _fits_kernel(T, C, K, dtype.itemsize,
                                                  force_kernel):
         gf = gamma.astype(jnp.float32)

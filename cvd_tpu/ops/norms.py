@@ -128,6 +128,13 @@ def _min_bytes() -> int:
     return int(os.environ.get("CVD_TPU_GN_MIN_BYTES", _MIN_BYTES))
 
 
+def _under_mesh() -> bool:
+    """True while a pipeline/train step traces with an active shard mesh."""
+    from cvd_tpu.models import layers as _layers
+
+    return _layers.SHARD_MESH is not None
+
+
 def _fits_kernel(x3, groups: int, force: bool) -> bool:
     R, S, C = x3.shape
     bytes_total = R * S * C * x3.dtype.itemsize
@@ -182,6 +189,12 @@ def group_norm(
     R, C = x.shape[0], x.shape[-1]
     x3 = x.reshape(R, -1, C)
     on_tpu = jax.default_backend() == "tpu"
+    if not force_kernel and _under_mesh():
+        # a bare pallas_call traced under GSPMD forces its operands to
+        # gather/replicate; GroupNorm is row-local math XLA shards natively,
+        # so mesh programs take the reference path (attention kernels keep
+        # their shard_map wrappers in parallel/shard_ops.py)
+        return _reference(x3, gamma, beta, num_groups, float(eps), act).reshape(x.shape)
     if (on_tpu or force_kernel) and _fits_kernel(x3, num_groups, force_kernel):
         y = _fused_gn(x3, gamma, beta, num_groups, float(eps), act, not on_tpu)
         return y.reshape(x.shape)

@@ -23,8 +23,15 @@ the UNet batch (views x CFG) rows shard over ``rows``, the frame axis over
 ``("rows", "frames")`` jointly, which matches b-major flattening exactly
 because both factorizations are row-major.
 
-All wrappers are inference-only (the mesh train step keeps the XLA path,
-see train/train_step.py).
+The wrappers also support the TRAINING mesh — a 1-D ``("data",)`` mesh
+where the folded-video batch axis shards on axis 0 and frames stay local
+(train/train_step.py). There spatial and temporal attention are fully
+local (whole videos per device); only the epipolar cross-video attention
+needs a collective (all-gather of k/v over ``data``, since the chunk-swap
+partner video lives B/2 rows away — usually on another device). All three
+kernels carry custom_vjp rules and the all-gather transposes to
+psum_scatter, so the wrappers are differentiable and the mesh train step
+keeps the fused kernels instead of falling back to XLA attention.
 """
 from __future__ import annotations
 
@@ -35,17 +42,40 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-def mesh_ok_for_kernels(mesh: Optional[Mesh], B: int, F: int) -> bool:
-    """The sharded kernel path needs the ("rows","frames") inference mesh
-    with evenly divisible batch rows and frames."""
+def flat_batch_axes(mesh: Optional[Mesh]):
+    """Mesh axis names a flattened (b f) batch-major token dim shards over,
+    or None if this mesh layout is not one the wrappers understand."""
     if mesh is None:
-        return False
+        return None
     names = tuple(mesh.axis_names)
-    if names != ("rows", "frames"):
+    if names in (("rows", "frames"), ("data",)):
+        return names
+    return None
+
+
+def mesh_ok_for_kernels(mesh: Optional[Mesh], B: int, F: int) -> bool:
+    """True when the sharded EPI kernel path supports (videos B, frames F)
+    on this mesh: the ("rows","frames") inference mesh with evenly
+    divisible videos and frames, or the ("data",) training mesh with whole
+    videos per device (frames are never sharded there)."""
+    names = flat_batch_axes(mesh)
+    if names is None:
         return False
+    if names == ("data",):
+        return B % mesh.shape["data"] == 0
     R = mesh.shape["rows"]
     C = mesh.shape["frames"]
     return B % R == 0 and F % C == 0
+
+
+def temporal_mesh_ok(mesh: Optional[Mesh], B: int, F: int) -> bool:
+    """Divisibility check for the sharded temporal kernel on [B, N, F, C]."""
+    names = flat_batch_axes(mesh)
+    if names is None:
+        return False
+    if names == ("data",):
+        return B % mesh.shape["data"] == 0
+    return B % mesh.shape["rows"] == 0 and F % mesh.shape["frames"] == 0
 
 
 def sharded_spatial_flash(q, k, v, heads: int, mesh: Mesh):
@@ -53,7 +83,7 @@ def sharded_spatial_flash(q, k, v, heads: int, mesh: Mesh):
     collectives — shard_map just makes the kernel run on local rows."""
     from cvd_tpu.ops.epi_flash import flash_attention
 
-    spec = P(("rows", "frames"), None, None)
+    spec = P(flat_batch_axes(mesh), None, None)
 
     def local(ql, kl, vl):
         return flash_attention(ql, kl, vl, heads=heads)
@@ -65,9 +95,24 @@ def sharded_spatial_flash(q, k, v, heads: int, mesh: Mesh):
 
 
 def sharded_temporal_flash(q, k, v, mask, heads: int, mesh: Mesh):
-    """Per-pixel temporal attention on [B, N, F, C]: q stays frame-sharded,
-    k/v all-gather over 'frames' so local frames attend over all frames."""
+    """Per-pixel temporal attention on [B, N, F, C].
+
+    Inference mesh: q stays frame-sharded, k/v all-gather over 'frames' so
+    local frames attend over all frames (classic sequence parallelism).
+    Training mesh: frames are local, so the kernel runs shard-local with
+    the full mask and zero collectives."""
     from cvd_tpu.ops.temporal_attn import temporal_flash_attention
+
+    if flat_batch_axes(mesh) == ("data",):
+        spec = P("data", None, None, None)
+
+        def local_data(ql, kl, vl):
+            return temporal_flash_attention(ql, kl, vl, mask, heads=heads)
+
+        return jax.shard_map(
+            local_data, mesh=mesh, in_specs=(spec, spec, spec),
+            out_specs=spec, check_vma=False,
+        )(q, k, v)
 
     spec = P("rows", None, "frames", None)
     F_total = q.shape[2]
@@ -115,6 +160,29 @@ def sharded_epi_flash(
     like the chunk assignment) and route with the global index directly.
     """
     from cvd_tpu.ops.epi_flash import epi_flash_attention
+
+    if flat_batch_axes(mesh) == ("data",):
+        # training mesh: whole videos per device, contiguous global rows.
+        # The chunk-swap partner video sits B/2 rows away (another device),
+        # so gather k/v over 'data' — full global rows in order — and route
+        # with the global index directly. Differentiation scatters dk/dv
+        # back through the all-gather's transpose (psum_scatter).
+        spec = P("data", None, None)
+        vec = P("data")
+
+        def local_data(ql, kl, vl, linesl, bandl, alphal, idxl):
+            kg = jax.lax.all_gather(kl, "data", axis=0, tiled=True)
+            vg = jax.lax.all_gather(vl, "data", axis=0, tiled=True)
+            return epi_flash_attention(
+                ql, kg, vg, linesl, coords, bandl, alphal,
+                heads=heads, kv_index=idxl.astype(jnp.int32),
+            )
+
+        return jax.shard_map(
+            local_data, mesh=mesh,
+            in_specs=(spec, spec, spec, spec, vec, vec, vec),
+            out_specs=spec, check_vma=False,
+        )(q, k, v, norm_lines, band, alpha, kv_index.astype(jnp.int32))
 
     spec = P(("rows", "frames"), None, None)
     vec = P(("rows", "frames"))

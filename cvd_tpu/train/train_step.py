@@ -142,11 +142,20 @@ def train_step(
 
 def make_jitted_train_step(modules: PipelineModules, mesh=None, **kwargs):
     """jit the step; with a mesh, donate state and shard the batch axis."""
+    mesh_flash = False
     if mesh is not None:
-        # a pallas_call under GSPMD would force its operands to
-        # gather/replicate (and the 2-view kv swap crosses the data-sharded
-        # batch axis); the XLA path lets GSPMD insert proper collectives
-        kwargs.setdefault("use_flash_kernel", False)
+        # the fused attention kernels run through the shard_map wrappers
+        # (parallel/shard_ops.py): spatial/temporal are shard-local on the
+        # ("data",) mesh, and the epipolar kernel all-gathers k/v over
+        # 'data' so the cross-device 2-view kv swap routes globally; all
+        # three carry custom_vjp rules, so the backward works too. The
+        # divisibility checks inside the model fall back to XLA attention
+        # per-op when the batch doesn't split into whole videos per device.
+        flash = kwargs.get("use_flash_kernel")
+        if flash is None:
+            flash = jax.default_backend() == "tpu"
+            kwargs["use_flash_kernel"] = flash
+        mesh_flash = bool(flash)
     frozen = {
         "vae": modules.vae_params,
         "clip": modules.clip_params,
@@ -187,7 +196,8 @@ def make_jitted_train_step(modules: PipelineModules, mesh=None, **kwargs):
 
     def run_sharded(state, batch, rng):
         prev = (_layers.FLASH_SPATIAL, _layers.SHARD_MESH)
-        _layers.FLASH_SPATIAL, _layers.SHARD_MESH = False, None
+        _layers.FLASH_SPATIAL = mesh_flash
+        _layers.SHARD_MESH = mesh if mesh_flash else None
         try:
             return jitted(state, batch, rng, frozen)
         finally:

@@ -276,9 +276,13 @@ def test_epi_module_golden_h_mats(monkeypatch):
     flax_mod = _build_epi_flax(C, HEADS)
     x_j = jnp.asarray(x.transpose(0, 2, 3, 4, 1))
     cond = _epi_cond(H_mats=jnp.asarray(H.reshape(B * Fw, 3, 3)))
-    variables = flax_mod.init(jax.random.key(0), x_j, cond)
+    # the H_mats path draws random slopes, so an epi_slope stream is
+    # required (the monkeypatched _uniform_slope above ignores its key)
+    variables = flax_mod.init({"params": jax.random.key(0),
+                               "epi_slope": jax.random.key(1)}, x_j, cond)
     variables = import_params(variables, oracle)
-    got, _ = flax_mod.apply(variables, x_j, cond)
+    got, _ = flax_mod.apply(variables, x_j, cond,
+                            rngs={"epi_slope": jax.random.key(2)})
     allclose(got, want.numpy().transpose(0, 2, 3, 4, 1), "epi out (H mats)")
 
 

@@ -167,3 +167,43 @@ def test_epi_distance_loss_prefers_on_line_correspondences():
     bad = float(epi_distance_loss(aux, jnp.asarray(F_bad), 256))
     assert good < bad
     assert good < 0.05
+
+
+def test_train_state_frozen_dtype_mixed_precision(modules):
+    """frozen_dtype=bf16: frozen leaves stored bf16, trainable leaves f32
+    masters; one step still updates only the trainable set and keeps the
+    frozen leaves bit-identical (set_to_zero on bf16 adds nothing)."""
+    import dataclasses as _dc
+
+    from flax import traverse_util as _tu
+
+    params_copy = jax.tree_util.tree_map(jnp.copy, modules.unet_params)
+    state = create_train_state(
+        params_copy, learning_rate=1e-3, frozen_dtype=jnp.bfloat16
+    )
+    mask = _tu.flatten_dict(
+        trainable_mask(state.params)["params"]
+        if "params" in state.params else trainable_mask(state.params)
+    )
+    flat = _tu.flatten_dict(
+        state.params["params"] if "params" in state.params else state.params
+    )
+    for k, v in flat.items():
+        want = jnp.float32 if mask[k] else jnp.bfloat16
+        assert v.dtype == want, f"{k}: {v.dtype} != {want}"
+
+    live = _dc.replace(modules, unet_params=state.params)
+    new_state, metrics = jax.jit(
+        lambda s, b, k: train_step(s, b, live, k), donate_argnums=()
+    )(state, make_batch(), jax.random.key(0))
+    assert np.isfinite(float(metrics["loss"]))
+    before = _tu.flatten_dict(
+        state.params["params"] if "params" in state.params else state.params
+    )
+    after = _tu.flatten_dict(
+        new_state.params["params"]
+        if "params" in new_state.params else new_state.params
+    )
+    changed = {k for k in after if not np.array_equal(
+        np.asarray(before[k]), np.asarray(after[k]))}
+    assert changed and all("epi_modules" in "/".join(k) for k in changed)
