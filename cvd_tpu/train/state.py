@@ -94,16 +94,17 @@ def create_train_state(
     train_epi_control.py:589-599)."""
     mask = trainable_mask(params, trainable_substrings)
     if frozen_dtype is not None:
-        @jax.jit
-        def _cast(tree, m):
+        # close over the bool mask: it must stay concrete Python bools
+        # (jitting over it would trace the leaves and `if keep` would raise)
+        def _cast(tree):
             def leaf(p, keep):
                 if not jnp.issubdtype(p.dtype, jnp.floating):
                     return p
                 return p.astype(jnp.float32 if keep else frozen_dtype)
 
-            return jax.tree_util.tree_map(leaf, tree, m)
+            return jax.tree_util.tree_map(leaf, tree, mask)
 
-        params = _cast(params, mask)
+        params = jax.jit(_cast)(params)
     labels = jax.tree_util.tree_map(
         lambda t: "trainable" if t else "frozen", mask
     )
