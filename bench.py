@@ -97,8 +97,19 @@ def _watchdog(seconds: int, what: str):
         signal.signal(signal.SIGALRM, prev)
 
 
+_BACKEND_WAS_HEALTHY = False
+
+
 def _is_transient(e: BaseException) -> bool:
     s = f"{type(e).__name__}: {e}"
+    if "RESOURCE_EXHAUSTED" in s and _BACKEND_WAS_HEALTHY:
+        # OOM raised AFTER this process saw a healthy backend = our own
+        # program genuinely doesn't fit. An in-process retry can never
+        # succeed (this process holds the HBM that starved it) — r04's
+        # bench_train burned 8 min of health retries learning that. Before
+        # first health, RESOURCE_EXHAUSTED stays transient: it usually
+        # means a previous client is still draining its buffers.
+        return False
     return any(m in s for m in _TRANSIENT_MARKERS)
 
 
@@ -153,6 +164,8 @@ def _init_backend(budget_s: float = 420.0):
                     f"backend {jax.default_backend()} ({len(dev)} device(s)) "
                     f"healthy in {time.time() - t0:.1f}s"
                 )
+                global _BACKEND_WAS_HEALTHY
+                _BACKEND_WAS_HEALTHY = True
                 return
         except Exception as e:  # noqa: BLE001
             if not _is_transient(e) or time.time() + 60 > deadline:
@@ -409,9 +422,16 @@ def _orchestrate(args):
     buffers/executables. The compact combined headline is the last line."""
     common = ["--steps", str(args.steps), "--frames", str(args.frames),
               "--size", str(args.size), "--repeats", str(args.repeats)]
-    for flag in ("f32", "tiny", "scan_layers"):
+    for flag in ("f32", "tiny"):
         if getattr(args, flag):
             common.append("--" + flag.replace("_", "-"))
+    # scan-layers is tri-state: forward only an EXPLICIT user choice; each
+    # phase subprocess otherwise resolves its own default (inference ON,
+    # train OFF — the stacked-param copy is HBM the train step can't spare)
+    if args.scan_layers is True:
+        common.append("--scan-layers")
+    elif args.scan_layers is False:
+        common.append("--no-scan-layers")
     py = [sys.executable, __file__]
 
     headline, err = _run_phase(py + common + ["--no-train-row"],
@@ -472,10 +492,15 @@ def main():
                         "2V*acc instead of an inner scan (A/B experiment)")
     p.add_argument("--train", action="store_true",
                    help="bench one full training iteration instead")
-    p.add_argument("--scan-layers", action="store_true",
+    p.add_argument("--scan-layers", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="UNetConfig.scan_identical_layers: dedup identical "
-                        "UNet layers into lax.scan bodies (compile-time "
-                        "A/B; costs ~1 GB resident HBM in stacked params)")
+                        "UNet layers into lax.scan bodies. Costs ~1 GB "
+                        "resident HBM in stacked params. Default: ON for "
+                        "simple inference (measured 2026-08-19: warm "
+                        "compile 208.8 -> 134.7 s, step time unchanged "
+                        "within noise), OFF for --train/--advanced where "
+                        "HBM is the binding constraint")
     p.add_argument("--split-decode", action="store_true",
                    help="run denoise and VAE decode as TWO separately "
                         "cached executables (compile-diet A/B: a UNet "
@@ -496,6 +521,12 @@ def main():
         # parent never imports jax (see _orchestrate docstring)
         _orchestrate(args)
         return
+
+    if args.scan_layers is None:
+        # measured default (scripts/tpu_measure.sh, 2026-08-19): scan
+        # dedup wins 35% of warm compile at zero step-time cost for the
+        # simple pipeline; train/advanced keep the HBM instead
+        args.scan_layers = not (args.advanced or args.train)
 
     from cvd_tpu.utils.cache import enable_compilation_cache
 

@@ -93,6 +93,15 @@ class UNetConfig:
     # UNet block). Full-size training at 16f/256px needs ~19 GB of saved
     # activations without it — over a v5e chip's 16 GB HBM.
     remat: bool = False
+    # remat granularity: "block" checkpoints whole UNet blocks; "layer"
+    # checkpoints each sublayer (resnet / spatial attn / motion / epi)
+    # separately. Measured (AOT memory_analysis, full-size B=4/16f/256px
+    # train step, 2026-08-19): block 8.03 GiB HLO temps vs layer 8.32 GiB
+    # — XLA's scheduler already interleaves the block recompute with its
+    # backward, and per-sublayer units just save more residuals, so
+    # "block" is the default and "layer" stays as a measured alternative.
+    # Same recompute FLOPs either way (each op replayed once).
+    remat_unit: str = "block"
     dtype: Any = jnp.float32
 
     def scaled(self, width_factor: float) -> "UNetConfig":
@@ -164,23 +173,30 @@ def _layer_modules(cfg: UNetConfig, channels: int, temb_dim: int, j=None, *,
     def kw(base):
         return {"parent": None} if j is None else {"name": f"{base}_{j}"}
 
-    resnet = ResnetBlock2D(channels, temb_dim, cfg.norm_num_groups,
-                           dtype=cfg.dtype, **kw("resnets"))
-    attn = Transformer2DModel(
+    # per-sublayer remat: each submodule is its own jax.checkpoint unit, so
+    # a training backward recomputes ONE sublayer at a time instead of a
+    # whole 9-sublayer block (param names/tree unchanged — nn.remat is a
+    # lifted transform). Also applies inside the lax.scan dedup body.
+    lift = (nn.remat if (cfg.remat and cfg.remat_unit == "layer")
+            else (lambda cls: cls))
+
+    resnet = lift(ResnetBlock2D)(channels, temb_dim, cfg.norm_num_groups,
+                                 dtype=cfg.dtype, **kw("resnets"))
+    attn = lift(Transformer2DModel)(
         channels, heads, channels // heads,
         cross_attention_dim=cross_dim,
         extended_attention=cfg.spatial_extended_attention,
         lora_rank=_lora_rank(cfg, channels),
         groups=cfg.norm_num_groups, dtype=cfg.dtype, **kw("attentions"),
     ) if with_attn else None
-    motion = TemporalTransformer(
+    motion = lift(TemporalTransformer)(
         channels, cfg.attention_heads,
         cfg.motion_num_transformer_blocks, cfg.motion_num_attention_blocks,
         cfg.motion_pe_max_len, cfg.pose_cond_attn_indices, cfg.pose_scale,
         cfg.motion_norm_groups, cfg.motion_zero_initialize,
         dtype=cfg.dtype, **kw("motion_modules"),
     ) if with_motion else None
-    epi = EpiTransformer(
+    epi = lift(EpiTransformer)(
         channels, cfg.attention_heads,
         cfg.epi_num_transformer_blocks, cfg.epi_num_attention_blocks,
         cfg.epi_norm_groups, cfg.epi_zero_initialize,
@@ -368,7 +384,10 @@ class MidBlock(nn.Module):
         if epi is not None:
             x, a = epi(x, epi_cond)
             aux += a
-        h = ResnetBlock2D(
+        Res1 = (nn.remat(ResnetBlock2D)
+                if (cfg.remat and cfg.remat_unit == "layer")
+                else ResnetBlock2D)
+        h = Res1(
             self.channels, temb.shape[-1], cfg.norm_num_groups,
             dtype=cfg.dtype, name="resnets_1",
         )(_fold(x), temb_f)
@@ -473,6 +492,11 @@ class UNet3DConditionModel(nn.Module):
         lora_scale: float = 1.0,
     ):
         cfg = self.config
+        if cfg.remat_unit not in ("layer", "block"):
+            # a typo would silently disable remat entirely and OOM training
+            raise ValueError(
+                f"remat_unit={cfg.remat_unit!r}: expected 'layer' or 'block'"
+            )
         B, F = sample.shape[:2]
         ch = cfg.block_out_channels
         heads = cfg.attention_heads
@@ -487,11 +511,13 @@ class UNet3DConditionModel(nn.Module):
         if pose_features is None:
             pose_features = [None] * 4
 
-        # rematerialized block variants for memory-bound training
+        # rematerialized block variants for memory-bound training; with
+        # remat_unit="layer" the checkpoint units live INSIDE the blocks
+        # (_layer_modules), so the block classes stay unwrapped
         DownCls, PlainDownCls, MidCls, UpCls = (
             (nn.remat(CrossAttnDownBlock), nn.remat(DownBlock),
              nn.remat(MidBlock), nn.remat(CrossAttnUpBlock))
-            if cfg.remat
+            if cfg.remat and cfg.remat_unit == "block"
             else (CrossAttnDownBlock, DownBlock, MidBlock, CrossAttnUpBlock)
         )
 

@@ -78,7 +78,11 @@ def _gn_kernel(x_ref, gamma_ref, beta_ref, o_ref, *, groups, eps, act):
 
 
 _BLOCK_BYTES = 4 * 1024 * 1024
-_MIN_BYTES = 2 * 1024 * 1024  # below this XLA's fusions are fine
+# Measured on v5e (2026-08-19 same-session A/B, scripts/tpu_measure.sh):
+# gating at 8 MiB cuts Mosaic sites 294 -> 233 and warm compile 208.8 ->
+# 192.0 s with step time unchanged (271.6 -> 269.9 ms, within drift noise)
+# — the gated shapes carry <1% of step traffic, so 8 MiB is the default.
+_MIN_BYTES = 8 * 1024 * 1024
 
 
 def _row_tile(R: int, row_bytes: int) -> int:

@@ -357,8 +357,30 @@ def decode_latents(
 
 
 def encode_images(
-    modules: PipelineModules, vae_params: Dict, images: jnp.ndarray, rng: jax.Array
+    modules: PipelineModules, vae_params: Dict, images: jnp.ndarray,
+    rng: jax.Array, frame_chunk: int = 8,
 ) -> jnp.ndarray:
-    """[N, H, W, 3] in [-1, 1] -> latents [N, H/8, W/8, 4] (sampled, scaled)."""
-    z = modules.vae.apply(vae_params, images, rng, method=modules.vae.sample_posterior)
+    """[N, H, W, 3] in [-1, 1] -> latents [N, H/8, W/8, 4] (sampled, scaled).
+
+    Frames encode in chunks through lax.map, mirroring decode_latents: an
+    unchunked 64-frame 256px encode materializes ~1 GiB conv activations
+    per layer inside the train step, which pushed the full-size training
+    program past a 16 GB chip's HBM (r04 bench_train OOM).
+    """
+    n = images.shape[0]
+    flat = images
+    pad = (-n) % frame_chunk
+    if pad:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((pad,) + flat.shape[1:], flat.dtype)])
+    chunks = flat.reshape(-1, frame_chunk, *flat.shape[1:])
+    keys = jax.random.split(rng, chunks.shape[0])
+
+    def enc(args):
+        x, k = args
+        return modules.vae.apply(
+            vae_params, x, k, method=modules.vae.sample_posterior)
+
+    z = jax.lax.map(enc, (chunks, keys))
+    z = z.reshape(-1, *z.shape[2:])[:n]
     return z * VAE_SCALE

@@ -58,8 +58,12 @@ def train_step(
         px = batch["pixel_values"]
         B, F = px.shape[:2]
         flat = px.reshape((B * F,) + px.shape[2:])
-        z = m.vae.apply(frozen_params["vae"], flat, vae_key, method=m.vae.sample_posterior)
-        latents = (z * VAE_SCALE).reshape((B, F) + z.shape[1:])
+        # frame-chunked (lax.map) like the reference's 2b-fold encode under
+        # no_grad (train_epi_control.py:514-523); bounds VAE temp memory
+        from cvd_tpu.pipelines.common import encode_images
+
+        z = encode_images(m, frozen_params["vae"], flat, vae_key)
+        latents = z.reshape((B, F) + z.shape[1:])
     B, F = latents.shape[:2]
 
     noise = jax.random.normal(eps_key, latents.shape, latents.dtype)

@@ -94,3 +94,42 @@ def test_unet_scan_layers_grads_match():
             np.asarray(flat_on[path]), np.asarray(leaf),
             rtol=1e-4, atol=1e-5,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_unet_remat_unit_equivalence():
+    """remat_unit='layer' (per-sublayer jax.checkpoint) must match both
+    remat_unit='block' and no-remat exactly: remat changes scheduling,
+    never math. Grads compared too (the whole point of remat is training)."""
+    sample, t, text, pose, cond = _inputs()
+    cfg_none = UNetConfig(**CFG, remat=False)
+    cfg_layer = dataclasses.replace(cfg_none, remat=True, remat_unit="layer")
+    cfg_block = dataclasses.replace(cfg_none, remat=True, remat_unit="block")
+    unet_none = UNet3DConditionModel(cfg_none)
+    params = unet_none.init(jax.random.key(0), sample, t, text, pose, cond)
+
+    def loss(p, unet):
+        out, _ = unet.apply(p, sample, t, text, pose, cond)
+        return jnp.mean(out.astype(jnp.float32) ** 2)
+
+    ref = loss(params, unet_none)
+    g_ref = jax.grad(lambda p: loss(p, unet_none))(params)
+    for cfg in (cfg_layer, cfg_block):
+        unet = UNet3DConditionModel(cfg)
+        got = loss(params, unet)
+        np.testing.assert_allclose(float(got), float(ref), rtol=1e-6,
+                                   err_msg=cfg.remat_unit)
+        g = jax.grad(lambda p: loss(p, unet))(params)
+        for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(g),
+                                jax.tree_util.tree_leaves(g_ref)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+                err_msg=f"{cfg.remat_unit}: {jax.tree_util.keystr(path)}")
+
+
+def test_unet_remat_unit_validated():
+    sample, t, text, pose, cond = _inputs()
+    cfg = UNetConfig(**CFG, remat=True)
+    cfg = dataclasses.replace(cfg, remat_unit="sublayer")
+    unet = UNet3DConditionModel(cfg)
+    with pytest.raises(ValueError, match="remat_unit"):
+        unet.init(jax.random.key(0), sample, t, text, pose, cond)
