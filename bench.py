@@ -50,6 +50,7 @@ from __future__ import annotations
 import argparse
 import contextlib
 import json
+import os
 import signal
 import sys
 import time
@@ -139,7 +140,7 @@ def _emit(obj):
     print(json.dumps(obj), flush=True)
 
 
-def _init_backend(budget_s: float = 420.0):
+def _init_backend(budget_s: float = 900.0):
     """Import jax and run one tiny device op under the watchdog.
 
     A wedged TPU worker sometimes recovers within minutes; retry the CHEAP
@@ -415,11 +416,22 @@ def _run_phase(cmd, timeout_s, to_stderr=False):
 
 
 def _orchestrate(args):
-    """Default mode: inference phase + training phase as two subprocesses.
+    """Default mode: inference + training + advanced phases as subprocesses.
 
     Each phase gets a FRESH TPU client — the round-3 failure was the train
     row OOMing inside the process that still held the inference session's
-    buffers/executables. The compact combined headline is the last line."""
+    buffers/executables. The compact combined headline is the last line.
+
+    All phases share one global budget (CVD_BENCH_TOTAL_BUDGET_S, default
+    2700 s): per-phase timeouts must never stack past the driver's own
+    window (round-2 died rc=124 with zero output). A phase that does not
+    fit the remaining budget is skipped with a short recorded reason."""
+    t_start = time.time()
+    budget_s = float(os.environ.get("CVD_BENCH_TOTAL_BUDGET_S", "2700"))
+
+    def _left():
+        return budget_s - (time.time() - t_start)
+
     common = ["--steps", str(args.steps), "--frames", str(args.frames),
               "--size", str(args.size), "--repeats", str(args.repeats)]
     for flag in ("f32", "tiny"):
@@ -445,16 +457,22 @@ def _orchestrate(args):
         sys.exit(1)
     headline.pop("partial", None)
 
-    train_row, terr = _run_phase(py + common + ["--train"], timeout_s=900,
-                                 to_stderr=True)
+    train_row, terr = None, None
+    if _left() > 240:
+        train_row, terr = _run_phase(
+            py + common + ["--train"],
+            timeout_s=int(max(min(900, _left() - 60), 60)), to_stderr=True)
+    else:
+        terr = "skipped: total bench budget exhausted before train phase"
     if (train_row is None or train_row.get("metric") != "train_iter_ms") \
-            and not args.tiny:
+            and not args.tiny and _left() > 240:
         # degrade instead of erroring into the artifact: a tiny-model train
         # row still proves the train path runs on the chip this round
         _note(f"full-size train row failed ({_short_err(terr or 'n/a')}); "
               "degrading to --tiny")
-        train_row, terr2 = _run_phase(py + common + ["--train", "--tiny"],
-                                      timeout_s=600, to_stderr=True)
+        train_row, terr2 = _run_phase(
+            py + common + ["--train", "--tiny"],
+            timeout_s=int(max(min(600, _left() - 60), 60)), to_stderr=True)
         if train_row is not None and train_row.get("metric") == "train_iter_ms":
             train_row["degraded"] = "tiny"
         terr = terr or terr2
@@ -468,6 +486,33 @@ def _orchestrate(args):
             headline["train_compile_seconds"] = train_row["compile_seconds"]
     if terr:
         headline["train_row_error"] = _short_err(terr)
+
+    # advanced-pipeline row: the flagship N-view workload gets a driver-
+    # visible number too (4 views, multistep 3 = 75 UNet calls at batch 8)
+    if not args.tiny and _left() > 300:
+        adv_cmd = py + ["--advanced", "--views", "4", "--multistep", "3",
+                        "--steps", str(args.steps), "--frames",
+                        str(args.frames), "--size", str(args.size),
+                        "--repeats", "1", "--no-train-row"]
+        if args.f32:
+            adv_cmd.append("--f32")
+        adv_row, aerr = _run_phase(
+            adv_cmd, timeout_s=int(max(min(900, _left() - 60), 60)),
+            to_stderr=True)
+        if adv_row is not None and \
+                adv_row.get("metric") == "advanced_videos_per_min_per_chip":
+            headline["advanced_videos_per_min"] = adv_row.get("value")
+            for k_src, k_dst in (("unet_step_ms", "advanced_unet_step_ms"),
+                                 ("mfu", "advanced_mfu"),
+                                 ("config", "advanced_config")):
+                if k_src in adv_row:
+                    headline[k_dst] = adv_row[k_src]
+        elif aerr:
+            headline["advanced_row_error"] = _short_err(aerr)
+    elif not args.tiny:
+        headline["advanced_row_error"] = \
+            "skipped: total bench budget exhausted before advanced phase"
+
     _emit(headline)  # the absolute last stdout line, bounded by construction
 
 

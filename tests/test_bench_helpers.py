@@ -204,6 +204,10 @@ def test_orchestrate_headline_is_last_and_bounded(monkeypatch, capsys):
         if "--train" in cmd:
             return ({"metric": "train_iter_ms", "value": 580.0,
                      "train_mfu": 0.2, "compile_seconds": 30.0}, None)
+        if "--advanced" in cmd:
+            return ({"metric": "advanced_videos_per_min_per_chip",
+                     "value": 6.35, "unet_step_ms": 558.0, "mfu": 0.4,
+                     "config": "4view"}, None)
         return ({"metric": "videos_per_min_per_chip", "value": 18.8,
                  "unit": "videos/min", "vs_baseline": 3.1,
                  "partial": True}, None)
@@ -215,9 +219,11 @@ def test_orchestrate_headline_is_last_and_bounded(monkeypatch, capsys):
     assert final["metric"] == "videos_per_min_per_chip"
     assert final["train_iter_ms"] == 580.0
     assert final["train_mfu"] == 0.2
+    assert final["advanced_videos_per_min"] == 6.35
+    assert final["advanced_unet_step_ms"] == 558.0
     assert "partial" not in final  # the re-emitted headline is final
     assert len(lines[-1]) < 4096
-    assert len(calls) == 2  # inference then train, no tiny retry
+    assert len(calls) == 3  # inference, train, advanced; no tiny retry
 
 
 def test_orchestrate_degrades_train_to_tiny(monkeypatch, capsys):
@@ -229,6 +235,8 @@ def test_orchestrate_degrades_train_to_tiny(monkeypatch, capsys):
             return ({"metric": "train_iter_ms", "value": 33.0}, None)
         if "--train" in cmd:
             return (None, "phase exited rc=1")
+        if "--advanced" in cmd:
+            return (None, "phase exited rc=1")
         return ({"metric": "videos_per_min_per_chip", "value": 18.8}, None)
 
     monkeypatch.setattr(bench, "_run_phase", fake_run_phase)
@@ -237,7 +245,8 @@ def test_orchestrate_degrades_train_to_tiny(monkeypatch, capsys):
     assert final["train_iter_ms"] == 33.0
     assert final["train_row_degraded"] == "tiny"
     assert final["train_row_error"] == "phase exited rc=1"
-    assert len(calls) == 3
+    assert final["advanced_row_error"] == "phase exited rc=1"
+    assert len(calls) == 4
 
 
 def test_orchestrate_train_failure_never_floods_headline(monkeypatch, capsys):
@@ -255,6 +264,26 @@ def test_orchestrate_train_failure_never_floods_headline(monkeypatch, capsys):
     final = json.loads(last)
     assert final["metric"] == "videos_per_min_per_chip"
     assert len(final["train_row_error"]) <= 200
+
+
+def test_orchestrate_budget_skips_later_phases(monkeypatch, capsys):
+    """Per-phase timeouts must never stack past the driver's window: with
+    the global budget exhausted after the inference phase, the train and
+    advanced phases are skipped with short recorded reasons."""
+    calls = []
+
+    def fake_run_phase(cmd, timeout_s, to_stderr=False):
+        calls.append(cmd)
+        return ({"metric": "videos_per_min_per_chip", "value": 18.8}, None)
+
+    monkeypatch.setattr(bench, "_run_phase", fake_run_phase)
+    monkeypatch.setenv("CVD_BENCH_TOTAL_BUDGET_S", "1")
+    bench._orchestrate(_orch_args())
+    final = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(calls) == 1  # only the inference phase ran
+    assert "budget exhausted" in final["train_row_error"]
+    assert "budget exhausted" in final["advanced_row_error"]
+    assert final["value"] == 18.8
 
 
 def test_orchestrate_no_inference_headline_exits_nonzero(monkeypatch, capsys):
