@@ -1,25 +1,44 @@
 #!/bin/bash
 # Ordered TPU measurement queue for a freshly healthy tunnel.
-# Each step is independently time-bounded and logs to $OUT; a failure moves
-# on to the next step (a wedged tunnel should not strand the whole queue).
+# Each step is independently time-bounded, health-gated, and logs to $OUT;
+# a failure moves on to the next step (a wedged tunnel should not strand
+# the whole queue).
 # Usage: scripts/tpu_measure.sh [outdir]
+#
+# Tunnel rules learned the hard way (2026-08-19):
+#  - probe with `python -c` — the `python - <<EOF` heredoc form hangs
+#    against the axon tunnel while the identical -c code succeeds;
+#  - never run two TPU clients concurrently (the second's first device op
+#    can hang indefinitely);
+#  - after a heavy client disconnects the worker can refuse NEW clients
+#    for 10-20 min, so every step re-gates on a patient health loop.
 set -u
 OUT=${1:-/tmp/tpu_measure}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 
+health() {
+  for i in $(seq 1 30); do
+    timeout 240 python -c "
+import jax, jax.numpy as jnp, numpy as np
+x = jnp.ones((256, 256)); print('ok', np.asarray((x @ x)[0, 0]))
+" >"$OUT/health.out" 2>&1 && return 0
+    echo "  health retry $i" | tee -a "$OUT/queue.log"
+    sleep 45
+  done
+  return 1
+}
+
 run() { # name timeout cmd...
   local name=$1 t=$2; shift 2
+  health || { echo "$name SKIPPED (worker down 20+ min)" | tee -a "$OUT/queue.log"; return 1; }
   echo "=== $name ($(date -u +%H:%M:%S)) ===" | tee -a "$OUT/queue.log"
   timeout "$t" "$@" >"$OUT/$name.out" 2>"$OUT/$name.err"
   echo "rc=$? $(tail -c 300 "$OUT/$name.out" | tr '\n' ' ')" | tee -a "$OUT/queue.log"
+  sleep 60  # give the worker disconnect-recovery room before the next step
 }
 
-# 0. health (cheap; bail out early if the tunnel is wedged)
-timeout 240 python -c "
-import jax, jax.numpy as jnp, numpy as np
-x = jnp.ones((256, 256)); print('ok', np.asarray((x @ x)[0, 0]))
-" >"$OUT/health.out" 2>&1 || { echo "tunnel unhealthy, aborting" | tee -a "$OUT/queue.log"; exit 1; }
+health || { echo "tunnel unhealthy, aborting" | tee -a "$OUT/queue.log"; exit 1; }
 echo "health ok" | tee -a "$OUT/queue.log"
 
 # 1. simple bench (warms the persistent cache; full driver metric)
