@@ -437,6 +437,10 @@ def _orchestrate(args):
     for flag in ("f32", "tiny"):
         if getattr(args, flag):
             common.append("--" + flag.replace("_", "-"))
+    if getattr(args, "pab", False):
+        common.append("--pab")
+        if args.pab_ranges:
+            common += ["--pab-ranges", args.pab_ranges]
     # scan-layers is tri-state: forward only an EXPLICIT user choice; each
     # phase subprocess otherwise resolves its own default (inference ON,
     # train OFF — the stacked-param copy is HBM the train step can't spare)
@@ -555,6 +559,12 @@ def main():
                    help="build + compile + exit: warms the persistent XLA "
                         "cache after kernel changes so the next (driver) "
                         "bench run skips the cold compile")
+    p.add_argument("--pab", action="store_true",
+                   help="Pyramid Attention Broadcast: reuse cached "
+                        "attention outputs on statically scheduled steps "
+                        "(simple pipeline; forces --no-scan-layers)")
+    p.add_argument("--pab-ranges", type=str, default="",
+                   help="e.g. 'spatial=2,cross=3,temporal=2,epi=1'")
     p.add_argument("--no-train-row", action="store_true",
                    help="skip the training-iteration phase the default "
                         "mode appends after the inference result")
@@ -570,8 +580,12 @@ def main():
     if args.scan_layers is None:
         # measured default (scripts/tpu_measure.sh, 2026-08-19): scan
         # dedup wins 35% of warm compile at zero step-time cost for the
-        # simple pipeline; train/advanced keep the HBM instead
-        args.scan_layers = not (args.advanced or args.train)
+        # simple pipeline; train/advanced keep the HBM instead. PAB caches
+        # are per-layer state the scan-dedup body can't carry.
+        args.scan_layers = not (args.advanced or args.train
+                                or getattr(args, "pab", False))
+    elif args.scan_layers and getattr(args, "pab", False):
+        p.error("--pab requires --no-scan-layers (per-layer caches)")
 
     from cvd_tpu.utils.cache import enable_compilation_cache
 
@@ -609,11 +623,18 @@ def main():
     else:
         from cvd_tpu.pipelines.simple import SimplePipeline
 
+        pab_cfg = None
+        if args.pab:
+            from cvd_tpu.pipelines.pab import PABConfig
+
+            pab_cfg = (PABConfig.from_string(args.pab_ranges)
+                       if args.pab_ranges else PABConfig())
         F_mats = _pair_F_mats(c2ws, K, F)
         pipe = SimplePipeline(modules, F_mat_size=IMG)
         run_pipe = lambda key, decode: pipe(ids, neg, plucker, F_mats,
                                             num_inference_steps=args.steps,
-                                            rng=key, decode=decode)
+                                            rng=key, decode=decode,
+                                            pab_config=pab_cfg)
 
     if args.split_decode:
         # two independently cached executables: a denoise-only pipeline and
@@ -678,7 +699,8 @@ def main():
                  + ("b-" if args.acc_batched else "-") if args.advanced else "")
               + ("f32" if args.f32 else "bf16") + ("-tiny" if args.tiny else "")
               + ("-split" if args.split_decode else "")
-              + ("-scan" if args.scan_layers else ""))
+              + ("-scan" if args.scan_layers else "")
+              + ("-pab" if getattr(args, "pab", False) else ""))
     metric = ("advanced_videos_per_min_per_chip" if args.advanced
               else "videos_per_min_per_chip")
     videos_per_min = V / e2e_s * 60.0

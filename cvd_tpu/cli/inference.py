@@ -65,9 +65,19 @@ def main(args):
     # scan-layers defaults ON for single-chip simple inference (35% faster
     # compile at zero step cost, measured 2026-08-19); sharded sampling
     # keeps the ~1 GB of stacked-param HBM instead (--scan_layers to force)
+    pab_config = None
+    if args.pab and args.sharded:
+        raise SystemExit("--pab + --sharded is not validated; pick one")
+    if args.pab:
+        from cvd_tpu.pipelines.pab import PABConfig
+
+        pab_config = (PABConfig.from_string(args.pab_ranges)
+                      if args.pab_ranges else PABConfig())
+        logger.info(f"PAB enabled: {pab_config}")
     modules, tokenizer = build_modules(
         args, args.video_length, args.image_height,
-        scan_default=not args.sharded,
+        # PAB caches are per-layer state the scan-dedup body can't carry
+        scan_default=not (args.sharded or args.pab),
     )
     if args.bf16:
         # bf16 weights for inference: halves the resident bundle and the
@@ -126,6 +136,7 @@ def main(args):
                 multidiff_total_steps=args.multidiff_total_steps,
                 multidiff_overlaps=args.multidiff_overlaps,
                 window_length=args.video_length,
+                pab_config=pab_config,
             )
         )  # [2, F, H, W, 3]
 
@@ -184,6 +195,12 @@ def build_parser():
     p.add_argument("--sharded", action="store_true",
                    help="shard sampling over all local devices "
                         "(rows x frames mesh; kernels stay active per shard)")
+    p.add_argument("--pab", action="store_true",
+                   help="Pyramid Attention Broadcast: reuse cached attention "
+                        "outputs on statically scheduled mid-trajectory "
+                        "steps (speed/quality trade; see pipelines/pab.py)")
+    p.add_argument("--pab_ranges", type=str, default="",
+                   help="e.g. 'spatial=2,cross=3,temporal=2,epi=1'")
     return p
 
 

@@ -141,12 +141,36 @@ class EpiSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, cond: Optional[EpiConditioning], pre_ln=None
+        self, x: jnp.ndarray, cond: Optional[EpiConditioning], pre_ln=None,
+        pab_reuse: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, dict]:
         """pre_ln: optional (scale, bias) of the preceding LayerNorm — then
         ``x`` is UNNORMALIZED and the norm folds into the q/k/v projections.
         Valid because LN is per-token, so it commutes with the partner-row
-        gather (LN(x)[route] == LN(x[route]))."""
+        gather (LN(x)[route] == LN(x[route])).
+
+        pab_reuse: optional traced bool — Pyramid Attention Broadcast
+        (pipelines/pab.py). Inference-only: on the PAB path the aux
+        query/key maps come back as zeros (the training loss that consumes
+        them never runs with PAB enabled)."""
+        if pab_reuse is not None and not self.is_initializing():
+            B, N, C = x.shape
+            cache = self.variable(
+                "pab", "out", lambda: jnp.zeros((B, N, C), self.dtype)
+            )
+            out = jax.lax.cond(
+                pab_reuse,
+                lambda: cache.value,
+                lambda: self._compute(x, cond, pre_ln)[0].astype(self.dtype),
+            )
+            cache.value = out
+            z = jnp.zeros((B, N, C), self.dtype)
+            return out, {"query": z, "key": z}
+        return self._compute(x, cond, pre_ln)
+
+    def _compute(
+        self, x: jnp.ndarray, cond: Optional[EpiConditioning], pre_ln=None
+    ) -> Tuple[jnp.ndarray, dict]:
         B, N, C = x.shape
         feat_size = int(round(N**0.5))
         assert feat_size * feat_size == N, "epi attention requires square grids"
@@ -303,7 +327,8 @@ class EpiTransformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, cond: Optional[EpiConditioning]):
+    def __call__(self, x: jnp.ndarray, cond: Optional[EpiConditioning],
+                 pab_reuse: Optional[jnp.ndarray] = None):
         from cvd_tpu.models.layers import LayerNormParams
 
         aux = []
@@ -312,7 +337,7 @@ class EpiTransformerBlock(nn.Module):
             ln = LayerNormParams(self.dim, name=f"norms_{i}")()
             res, qk = EpiSelfAttention(
                 self.dim, self.heads, dtype=self.dtype, name=f"attention_blocks_{i}"
-            )(x, cond, pre_ln=ln)
+            )(x, cond, pre_ln=ln, pab_reuse=pab_reuse)
             x = x + res
             aux.append(qk)
         ln = LayerNormParams(self.dim, name="ff_norm")()
@@ -336,7 +361,8 @@ class EpiTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, cond: Optional[EpiConditioning]):
+    def __call__(self, x: jnp.ndarray, cond: Optional[EpiConditioning],
+                 pab_reuse: Optional[jnp.ndarray] = None):
         B, F, H, W, C = x.shape
         residual = x
         h = FusedGroupNorm(
@@ -352,7 +378,7 @@ class EpiTransformer(nn.Module):
                 self.num_attention_blocks,
                 dtype=self.dtype,
                 name=f"transformer_blocks_{i}",
-            )(h, cond)
+            )(h, cond, pab_reuse=pab_reuse)
             aux_all += aux
         proj_out_init = (
             nn.initializers.zeros if self.zero_initialize else nn.initializers.lecun_normal()

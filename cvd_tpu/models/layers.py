@@ -299,11 +299,47 @@ class Attention(nn.Module):
         return_qk: bool = False,
         lora_scale: float = 1.0,
         pre_ln=None,
+        pab_reuse: Optional[jnp.ndarray] = None,
     ):
         """pre_ln: optional (scale, bias) of the preceding LayerNorm — the
         caller then passes UNNORMALIZED hidden_states and the norm fuses
         into the q/k/v projection (ops.ln_matmul). Context tokens are never
-        normalized by that norm (cross attention norms queries only)."""
+        normalized by that norm (cross attention norms queries only).
+
+        pab_reuse: optional traced bool scalar — Pyramid Attention
+        Broadcast (pipelines/pab.py). True: return the output cached in
+        the "pab" variable collection instead of computing; the lax.cond
+        skips the projections and the attention entirely on reuse steps.
+        """
+        if pab_reuse is not None and not self.is_initializing():
+            assert not return_qk, "PAB caching does not support return_qk"
+            B, Lq = hidden_states.shape[:2]
+            cache = self.variable(
+                "pab", "out",
+                lambda: jnp.zeros((B, Lq, self.query_dim), self.dtype),
+            )
+            out = jax.lax.cond(
+                pab_reuse,
+                lambda: cache.value,
+                lambda: self._compute(
+                    hidden_states, encoder_hidden_states, bias, False,
+                    lora_scale, pre_ln,
+                ).astype(self.dtype),
+            )
+            cache.value = out
+            return out
+        return self._compute(hidden_states, encoder_hidden_states, bias,
+                             return_qk, lora_scale, pre_ln)
+
+    def _compute(
+        self,
+        hidden_states: jnp.ndarray,
+        encoder_hidden_states: Optional[jnp.ndarray] = None,
+        bias: Optional[jnp.ndarray] = None,
+        return_qk: bool = False,
+        lora_scale: float = 1.0,
+        pre_ln=None,
+    ):
         inner = self.heads * self.dim_head
         ctx = hidden_states if encoder_hidden_states is None else encoder_hidden_states
         C_in = hidden_states.shape[-1]
@@ -536,20 +572,28 @@ class BasicTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, context: jnp.ndarray, lora_scale: float = 1.0
+        self, x: jnp.ndarray, context: jnp.ndarray, lora_scale: float = 1.0,
+        pab=None,
     ) -> jnp.ndarray:
+        """pab: optional dict of traced bool scalars keyed by attention
+        class ("spatial" for attn1, "cross" for attn2) — see
+        pipelines/pab.py."""
+        pab_spatial = None if pab is None else pab.get("spatial")
+        pab_cross = None if pab is None else pab.get("cross")
         # norms fold into the following projections unless the normalized
         # tokens are needed standalone (pair-concat context, LoRA deltas)
         if self.lora_rank == 0 and not self.extended_attention:
             x = x + Attention(
                 self.dim, self.heads, self.dim_head, dtype=self.dtype,
                 name="attn1",
-            )(x, None, pre_ln=LayerNormParams(self.dim, name="norm1")())
+            )(x, None, pre_ln=LayerNormParams(self.dim, name="norm1")(),
+              pab_reuse=pab_spatial)
             x = x + Attention(
                 self.dim, self.heads, self.dim_head,
                 cross_attention_dim=self.cross_attention_dim,
                 dtype=self.dtype, name="attn2",
-            )(x, context, pre_ln=LayerNormParams(self.dim, name="norm2")())
+            )(x, context, pre_ln=LayerNormParams(self.dim, name="norm2")(),
+              pab_reuse=pab_cross)
             x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(
                 x, pre_ln=LayerNormParams(self.dim, name="norm3")()
             )
@@ -563,7 +607,7 @@ class BasicTransformerBlock(nn.Module):
         x = x + Attention(
             self.dim, self.heads, self.dim_head, lora_rank=self.lora_rank,
             dtype=self.dtype, name="attn1",
-        )(h, self_ctx, lora_scale=lora_scale)
+        )(h, self_ctx, lora_scale=lora_scale, pab_reuse=pab_spatial)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         x = x + Attention(
             self.dim,
@@ -573,7 +617,7 @@ class BasicTransformerBlock(nn.Module):
             lora_rank=self.lora_rank,
             dtype=self.dtype,
             name="attn2",
-        )(h, context, lora_scale=lora_scale)
+        )(h, context, lora_scale=lora_scale, pab_reuse=pab_cross)
         h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(x)
         x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(h)
         return x
@@ -597,7 +641,8 @@ class Transformer2DModel(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, context: jnp.ndarray, lora_scale: float = 1.0
+        self, x: jnp.ndarray, context: jnp.ndarray, lora_scale: float = 1.0,
+        pab=None,
     ) -> jnp.ndarray:
         N, H, W, C = x.shape
         inner = self.heads * self.dim_head
@@ -615,7 +660,7 @@ class Transformer2DModel(nn.Module):
                 lora_rank=self.lora_rank,
                 dtype=self.dtype,
                 name=f"transformer_blocks_{i}",
-            )(h, context, lora_scale=lora_scale)
+            )(h, context, lora_scale=lora_scale, pab=pab)
         h = h.reshape(N, H, W, inner)
         h = Conv2d(C, 1, 1, 0, dtype=self.dtype, name="proj_out")(h)
         return h + residual

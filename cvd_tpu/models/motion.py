@@ -87,6 +87,27 @@ class TemporalSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(
+        self, x: jnp.ndarray, pose_feature: Optional[jnp.ndarray] = None,
+        pab_reuse: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """pab_reuse: optional traced bool — Pyramid Attention Broadcast
+        (pipelines/pab.py): reuse the cached attention output instead of
+        recomputing."""
+        if pab_reuse is not None and not self.is_initializing():
+            B, N, F, C = x.shape
+            cache = self.variable(
+                "pab", "out", lambda: jnp.zeros((B, N, F, C), self.dtype)
+            )
+            out = jax.lax.cond(
+                pab_reuse,
+                lambda: cache.value,
+                lambda: self._compute(x, pose_feature).astype(self.dtype),
+            )
+            cache.value = out
+            return out
+        return self._compute(x, pose_feature)
+
+    def _compute(
         self, x: jnp.ndarray, pose_feature: Optional[jnp.ndarray] = None
     ) -> jnp.ndarray:
         B, N, F, C = x.shape
@@ -180,7 +201,8 @@ class TemporalTransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, pose_feature: Optional[jnp.ndarray] = None
+        self, x: jnp.ndarray, pose_feature: Optional[jnp.ndarray] = None,
+        pab_reuse: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         for i in range(self.num_attention_blocks):
             h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norms_{i}")(x)
@@ -194,7 +216,7 @@ class TemporalTransformerBlock(nn.Module):
                     causal_mask_type=self.causal_mask_type,
                     dtype=self.dtype,
                     name=f"attention_blocks_{i}",
-                )(h, pose_feature)
+                )(h, pose_feature, pab_reuse=pab_reuse)
                 + x
             )
         from cvd_tpu.models.layers import LayerNormParams
@@ -227,7 +249,8 @@ class TemporalTransformer(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, pose_feature: Optional[jnp.ndarray] = None
+        self, x: jnp.ndarray, pose_feature: Optional[jnp.ndarray] = None,
+        pab_reuse: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         B, F, H, W, C = x.shape
         residual = x
@@ -253,7 +276,7 @@ class TemporalTransformer(nn.Module):
                 causal_mask_type=self.causal_mask_type,
                 dtype=self.dtype,
                 name=f"transformer_blocks_{i}",
-            )(h, pose_feature)
+            )(h, pose_feature, pab_reuse=pab_reuse)
         proj_out_init = (
             nn.initializers.zeros if self.zero_initialize else nn.initializers.lecun_normal()
         )

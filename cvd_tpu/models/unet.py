@@ -274,7 +274,8 @@ class CrossAttnDownBlock(nn.Module):
                               with_epi=self.use_epi)
 
     @nn.compact
-    def __call__(self, x, temb, context, pose_feature, epi_cond, lora_scale=1.0):
+    def __call__(self, x, temb, context, pose_feature, epi_cond,
+                 lora_scale=1.0, pab=None):
         cfg = self.cfg
         B = x.shape[0]
         temb_f = jnp.repeat(temb, x.shape[1], axis=0)
@@ -284,9 +285,11 @@ class CrossAttnDownBlock(nn.Module):
 
         # layer dedup: when every layer has identical param shapes (possible
         # only when the block's input channels already equal out_channels,
-        # i.e. down block 0), run the layers as ONE scan body
+        # i.e. down block 0), run the layers as ONE scan body. PAB caches
+        # are per-layer state the stacked-param scan body cannot carry, so
+        # the dedup path requires pab=None (the pipeline enforces this).
         if (cfg.scan_identical_layers and not self.is_initializing()
-                and self.num_layers >= 2
+                and pab is None and self.num_layers >= 2
                 and x.shape[-1] == self.out_channels):
             x, res_states, aux = _scan_layer_group(
                 self, self._defs(temb.shape[-1]), range(self.num_layers), x,
@@ -298,12 +301,16 @@ class CrossAttnDownBlock(nn.Module):
             for j in range(self.num_layers):
                 resnet, attn, motion, epi = self._defs(temb.shape[-1], j)
                 h = resnet(_fold(x), temb_f)
-                h = attn(h, context_f, lora_scale=lora_scale)
+                h = attn(h, context_f, lora_scale=lora_scale, pab=pab)
                 x = _unfold(h, B)
                 if motion is not None:
-                    x = motion(x, pose_feature)
+                    x = motion(x, pose_feature,
+                               pab_reuse=None if pab is None
+                               else pab.get("temporal"))
                 if epi is not None:
-                    x, a = epi(x, epi_cond)
+                    x, a = epi(x, epi_cond,
+                               pab_reuse=None if pab is None
+                               else pab.get("epi"))
                     aux += a
                 res_states.append(x)
         if self.add_downsample:
@@ -326,14 +333,14 @@ class DownBlock(nn.Module):
                               with_epi=self.use_epi)
 
     @nn.compact
-    def __call__(self, x, temb, pose_feature, epi_cond):
+    def __call__(self, x, temb, pose_feature, epi_cond, pab=None):
         cfg = self.cfg
         B = x.shape[0]
         temb_f = jnp.repeat(temb, x.shape[1], axis=0)
         res_states: List[jnp.ndarray] = []
         aux: List[dict] = []
         if (cfg.scan_identical_layers and not self.is_initializing()
-                and self.num_layers >= 2
+                and pab is None and self.num_layers >= 2
                 and x.shape[-1] == self.out_channels):
             x, res_states, aux = _scan_layer_group(
                 self, self._defs(temb.shape[-1]), range(self.num_layers), x,
@@ -345,9 +352,13 @@ class DownBlock(nn.Module):
                 resnet, _, motion, epi = self._defs(temb.shape[-1], j)
                 x = _unfold(resnet(_fold(x), temb_f), B)
                 if motion is not None:
-                    x = motion(x, pose_feature)
+                    x = motion(x, pose_feature,
+                               pab_reuse=None if pab is None
+                               else pab.get("temporal"))
                 if epi is not None:
-                    x, a = epi(x, epi_cond)
+                    x, a = epi(x, epi_cond,
+                               pab_reuse=None if pab is None
+                               else pab.get("epi"))
                     aux += a
                 res_states.append(x)
         if self.add_downsample:
@@ -365,7 +376,8 @@ class MidBlock(nn.Module):
     cfg: UNetConfig
 
     @nn.compact
-    def __call__(self, x, temb, context, pose_feature, epi_cond, lora_scale=1.0):
+    def __call__(self, x, temb, context, pose_feature, epi_cond,
+                 lora_scale=1.0, pab=None):
         cfg = self.cfg
         B = x.shape[0]
         temb_f = jnp.repeat(temb, x.shape[1], axis=0)
@@ -377,12 +389,14 @@ class MidBlock(nn.Module):
             with_motion=self.use_motion, with_epi=self.use_epi,
         )
         h = resnet0(_fold(x), temb_f)
-        h = attn(h, context_f, lora_scale=lora_scale)
+        h = attn(h, context_f, lora_scale=lora_scale, pab=pab)
         x = _unfold(h, B)
         if motion is not None:
-            x = motion(x, pose_feature)
+            x = motion(x, pose_feature,
+                       pab_reuse=None if pab is None else pab.get("temporal"))
         if epi is not None:
-            x, a = epi(x, epi_cond)
+            x, a = epi(x, epi_cond,
+                       pab_reuse=None if pab is None else pab.get("epi"))
             aux += a
         Res1 = (nn.remat(ResnetBlock2D)
                 if (cfg.remat and cfg.remat_unit == "layer")
@@ -408,7 +422,8 @@ class CrossAttnUpBlock(nn.Module):
     cfg: UNetConfig
 
     @nn.compact
-    def __call__(self, x, res_states, temb, context, pose_feature, epi_cond, lora_scale=1.0):
+    def __call__(self, x, res_states, temb, context, pose_feature, epi_cond,
+                 lora_scale=1.0, pab=None):
         cfg = self.cfg
         B = x.shape[0]
         temb_f = jnp.repeat(temb, x.shape[1], axis=0)
@@ -430,12 +445,16 @@ class CrossAttnUpBlock(nn.Module):
             resnet, attn, motion, epi = _defs(j)
             h = resnet(_fold(x), temb_f)
             if attn is not None:
-                h = attn(h, context_f, lora_scale=lora_scale)
+                h = attn(h, context_f, lora_scale=lora_scale, pab=pab)
             x = _unfold(h, B)
             if motion is not None:
-                x = motion(x, pose_feature)
+                x = motion(x, pose_feature,
+                           pab_reuse=None if pab is None
+                           else pab.get("temporal"))
             if epi is not None:
-                x, a = epi(x, epi_cond)
+                x, a = epi(x, epi_cond,
+                           pab_reuse=None if pab is None
+                           else pab.get("epi"))
                 aux.extend(a)
             return x
 
@@ -449,7 +468,8 @@ class CrossAttnUpBlock(nn.Module):
             cur = self.out_channels
 
         j = 0
-        scan_ok = cfg.scan_identical_layers and not self.is_initializing()
+        scan_ok = (cfg.scan_identical_layers and not self.is_initializing()
+                   and pab is None)
         while j < self.num_layers:
             k = j
             while (scan_ok and k + 1 < self.num_layers
@@ -490,8 +510,18 @@ class UNet3DConditionModel(nn.Module):
         down_block_additional_residuals: Optional[Sequence[jnp.ndarray]] = None,
         mid_block_additional_residual: Optional[jnp.ndarray] = None,
         lora_scale: float = 1.0,
+        pab=None,
     ):
+        """pab: optional dict of traced bool scalars keyed by attention
+        class ("spatial"/"cross"/"temporal"/"epi") — Pyramid Attention
+        Broadcast reuse flags for this call (pipelines/pab.py). Requires
+        scan_identical_layers=False and mutable=["pab"] on apply()."""
         cfg = self.config
+        if pab is not None and cfg.scan_identical_layers:
+            raise ValueError(
+                "PAB caches are per-layer state the scan-dedup body cannot "
+                "carry; build the UNet with scan_identical_layers=False"
+            )
         if cfg.remat_unit not in ("layer", "block"):
             # a typo would silently disable remat entirely and OOM training
             raise ValueError(
@@ -545,13 +575,13 @@ class UNet3DConditionModel(nn.Module):
                     add_downsample=True, use_motion=use_motion, use_epi=use_epi,
                     cfg=cfg, name=f"down_blocks_{i}",
                 )(x, temb, encoder_hidden_states, pose_features[i], epi_cond,
-                  lora_scale=lora_scale)
+                  lora_scale=lora_scale, pab=pab)
             else:
                 x, res_states, aux = PlainDownCls(
                     ch[i], cfg.layers_per_block, add_downsample=False,
                     use_motion=use_motion, use_epi=use_epi,
                     cfg=cfg, name=f"down_blocks_{i}",
-                )(x, temb, pose_features[i], epi_cond)
+                )(x, temb, pose_features[i], epi_cond, pab=pab)
             res_stack += res_states
             aux_all += aux
 
@@ -567,7 +597,7 @@ class UNet3DConditionModel(nn.Module):
             use_epi=cfg.use_epi_module and cfg.epi_module_mid_block,
             cfg=cfg, name="mid_block",
         )(x, temb, encoder_hidden_states, pose_features[-1], epi_cond,
-          lora_scale=lora_scale)
+          lora_scale=lora_scale, pab=pab)
         aux_all += aux
 
         if cfg.fuse_first_frame:
@@ -598,7 +628,8 @@ class UNet3DConditionModel(nn.Module):
                 has_attention=(i != 0),  # up_block 0 is UpBlock3D (no spatial attn)
                 cfg=cfg, name=f"up_blocks_{i}",
             )(x, res_states, temb, encoder_hidden_states,
-              pose_features[-(i + 1)], epi_cond, lora_scale=lora_scale)
+              pose_features[-(i + 1)], epi_cond, lora_scale=lora_scale,
+              pab=pab)
             aux_all += aux
             prev_out = out_ch
 

@@ -58,6 +58,7 @@ class SimplePipeline:
         multidiff_total_steps: int = 1,
         multidiff_overlaps: int = 12,
         window_length: Optional[int] = None,
+        pab_config=None,
     ):
         """Returns images [2, F_total, H, W, 3] in [0,1] (or raw latents).
 
@@ -65,11 +66,16 @@ class SimplePipeline:
         are denoised with overlap-averaged sliding windows — the reference
         scaffolds this but force-disables it (pipeline_animation_epi.py:509);
         here it is functional. F_total = steps*(window-overlap)+overlap.
+
+        pab_config: optional pipelines.pab.PABConfig — Pyramid Attention
+        Broadcast: attention outputs cached in the scan carry and reused on
+        statically scheduled steps (requires the UNet to be built with
+        scan_identical_layers=False, and multidiff off).
         """
         rng = rng if rng is not None else jax.random.key(0)
         key = (num_inference_steps, float(guidance_scale), decode,
                latents is None, multidiff_total_steps, multidiff_overlaps,
-               window_length)
+               window_length, pab_config)
         if key not in self._jitted:
             self._jitted[key] = jax.jit(
                 partial(
@@ -80,6 +86,7 @@ class SimplePipeline:
                     multidiff_total_steps=multidiff_total_steps,
                     multidiff_overlaps=multidiff_overlaps,
                     window_length=window_length,
+                    pab_config=pab_config,
                 )
             )
         from cvd_tpu.models import layers as _layers
@@ -102,6 +109,7 @@ class SimplePipeline:
         self, params, prompt_ids, negative_ids, plucker, F_mats, rng,
         latents=None, *, num_inference_steps, guidance_scale, decode,
         multidiff_total_steps=1, multidiff_overlaps=12, window_length=None,
+        pab_config=None,
     ):
         m = self.m
         sched_state = m.scheduler.set_timesteps(num_inference_steps)
@@ -167,36 +175,91 @@ class SimplePipeline:
 
         from cvd_tpu.parallel import constrain
 
-        def eps_window(lat_w, t, sk, pf, cond_w):
+        def eps_window(lat_w, t, sk, pf, cond_w, pab_flags=None,
+                       pab_cache=None):
             lat_in = jnp.concatenate(
                 [lat_w[:1], lat_w[:1], lat_w[1:], lat_w[1:]], axis=0
             )
             lat_in = constrain(lat_in, self.mesh, "rows", "frames")
             pf = [constrain(p, self.mesh, "rows", "frames") for p in pf]
             lat_in = m.scheduler.scale_model_input(lat_in, t)
-            eps, _ = m.unet.apply(
-                params["unet"], lat_in, t, text, pf, cond_w,
-                rngs={"epi_slope": sk},
-            )
+            if pab_flags is None:
+                eps, _ = m.unet.apply(
+                    params["unet"], lat_in, t, text, pf, cond_w,
+                    rngs={"epi_slope": sk},
+                )
+                cache_out = None
+            else:
+                (eps, _), mut = m.unet.apply(
+                    {**params["unet"], "pab": pab_cache}, lat_in, t, text,
+                    pf, cond_w, rngs={"epi_slope": sk}, pab=pab_flags,
+                    mutable=["pab"],
+                )
+                cache_out = mut["pab"]
             # chunk(4): uncond rows (0, 2), cond rows (1, 3)  (reference :642-646)
             eps_uncond = jnp.stack([eps[0], eps[2]])
             eps_text = jnp.stack([eps[1], eps[3]])
-            return eps_uncond + guidance_scale * (eps_text - eps_uncond)
+            return eps_uncond + guidance_scale * (eps_text - eps_uncond), \
+                cache_out
 
-        def step(carry, t):
-            lat, k = carry
-            eps_full = jnp.zeros_like(lat)
-            for widx in range(multidiff_total_steps):
-                s = widx * stride
+        if pab_config is None:
+            def step(carry, t):
+                lat, k = carry
+                eps_full = jnp.zeros_like(lat)
+                for widx in range(multidiff_total_steps):
+                    s = widx * stride
+                    k, sk = jax.random.split(k)
+                    pf, cond_w = window_cond(s)
+                    eps_w, _ = eps_window(lat[:, s : s + Fw], t, sk, pf, cond_w)
+                    eps_full = eps_full.at[:, s : s + Fw].add(eps_w)
+                eps_full = eps_full * inv_counts
+                lat = m.scheduler.step(sched_state, eps_full, t, lat)
+                return (lat, k), None
+
+            (latents, _), _ = jax.lax.scan(
+                step, (latents, rng), sched_state.timesteps)
+        else:
+            # Pyramid Attention Broadcast: per-class reuse masks are static
+            # scan xs; every attention site's cached output rides the scan
+            # carry as the "pab" variable collection (pipelines/pab.py)
+            from cvd_tpu.pipelines.pab import CLASSES as _PAB_CLASSES
+            from cvd_tpu.pipelines.pab import reuse_masks
+
+            if multidiff_total_steps != 1:
+                raise ValueError("PAB + multidiff windows is unsupported")
+            masks_np = reuse_masks(num_inference_steps, pab_config)
+            pab_xs = {c: jnp.asarray(masks_np[c]) for c in _PAB_CLASSES}
+            pf0, cond0 = window_cond(0)
+            flags0 = {c: jnp.zeros((), bool) for c in _PAB_CLASSES}
+
+            def _probe(lat, sk):
+                lat_in = jnp.concatenate(
+                    [lat[:1], lat[:1], lat[1:], lat[1:]], axis=0
+                )
+                lat_in = m.scheduler.scale_model_input(
+                    lat_in, sched_state.timesteps[0])
+                return m.unet.apply(
+                    params["unet"], lat_in, sched_state.timesteps[0], text,
+                    pf0, cond0, rngs={"epi_slope": sk}, pab=flags0,
+                    mutable=["pab"],
+                )
+
+            _, mut_sds = jax.eval_shape(_probe, latents, rng)
+            cache0 = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), mut_sds["pab"])
+
+            def step_pab(carry, xs):
+                lat, k, cache = carry
+                t, flags = xs
                 k, sk = jax.random.split(k)
-                pf, cond_w = window_cond(s)
-                eps_w = eps_window(lat[:, s : s + Fw], t, sk, pf, cond_w)
-                eps_full = eps_full.at[:, s : s + Fw].add(eps_w)
-            eps_full = eps_full * inv_counts
-            lat = m.scheduler.step(sched_state, eps_full, t, lat)
-            return (lat, k), None
+                pf, cond_w = window_cond(0)
+                eps_w, cache = eps_window(lat, t, sk, pf, cond_w, flags, cache)
+                lat = m.scheduler.step(sched_state, eps_w, t, lat)
+                return (lat, k, cache), None
 
-        (latents, _), _ = jax.lax.scan(step, (latents, rng), sched_state.timesteps)
+            (latents, _, _), _ = jax.lax.scan(
+                step_pab, (latents, rng, cache0),
+                (sched_state.timesteps, pab_xs))
         if not decode:
             return latents
         return decode_latents(m, params["vae"], latents)
