@@ -559,6 +559,12 @@ def main():
                    help="build + compile + exit: warms the persistent XLA "
                         "cache after kernel changes so the next (driver) "
                         "bench run skips the cold compile")
+    p.add_argument("--step-chunk", type=int, default=None,
+                   help="advanced mode: execute the denoise scan as "
+                        "ceil(steps/N) separate runs of one compiled chunk "
+                        "program (identical math; keeps any single device-"
+                        "program execution short — the remote worker dies "
+                        "on ~7 min single executions)")
     p.add_argument("--pab", action="store_true",
                    help="Pyramid Attention Broadcast: reuse cached "
                         "attention outputs on statically scheduled steps "
@@ -619,6 +625,7 @@ def main():
             K_mats=jnp.asarray(K, jnp.float32),
             num_inference_steps=args.steps, multistep=args.multistep,
             accumulate_step=args.accumulate, rng=key, decode=decode,
+            step_chunk=args.step_chunk,
         )
     else:
         from cvd_tpu.pipelines.simple import SimplePipeline
@@ -700,7 +707,9 @@ def main():
               + ("f32" if args.f32 else "bf16") + ("-tiny" if args.tiny else "")
               + ("-split" if args.split_decode else "")
               + ("-scan" if args.scan_layers else "")
-              + ("-pab" if getattr(args, "pab", False) else ""))
+              + ("-pab" if getattr(args, "pab", False) else "")
+              + (f"-ck{args.step_chunk}" if getattr(args, "step_chunk", None)
+                 else ""))
     metric = ("advanced_videos_per_min_per_chip" if args.advanced
               else "videos_per_min_per_chip")
     videos_per_min = V / e2e_s * 60.0

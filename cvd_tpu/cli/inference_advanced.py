@@ -136,6 +136,7 @@ def main(args):
                     multistep=args.multistep,
                     accumulate_step=args.accumulate_step,
                     rng=jax.random.key(seed),
+                    step_chunk=args.step_chunk,
                 )
             )  # [V, F, H, W, 3]
 
@@ -184,6 +185,11 @@ def build_parser():
     p.add_argument("--view_num", type=int, default=4)
     p.add_argument("--multistep", type=int, default=3)
     p.add_argument("--accumulate_step", type=int, default=1)
+    p.add_argument("--step_chunk", type=int, default=None,
+                   help="execute the denoise scan as ceil(steps/N) runs of "
+                        "one compiled chunk program (identical outputs; "
+                        "keeps single device-program executions short for "
+                        "long multistep*accumulate schedules)")
     p.add_argument("--multiseed", type=int, default=1)
     p.add_argument("--cam_pattern", choices=["circle", "upper_hemi", "interpolate"],
                    default="circle")

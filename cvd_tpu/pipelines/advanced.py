@@ -84,29 +84,18 @@ class AdvancedPipeline:
         rng: Optional[jax.Array] = None,
         latents: Optional[jnp.ndarray] = None,
         decode: bool = True,
+        step_chunk: Optional[int] = None,
     ):
+        """step_chunk: run the denoising scan as ceil(T/step_chunk) separate
+        executions of ONE compiled chunk program instead of a single
+        whole-run program. The math is identical (the chunk boundary only
+        splits the lax.scan's xs); use it when a single device-program
+        execution would run for minutes — the remote-TPU worker was
+        observed to crash partway through a ~430 s single execution
+        (6 views x multistep 6 x accumulate 2 x 25 steps) while the same
+        program at 2 steps ran fine."""
         rng = rng if rng is not None else jax.random.key(0)
         V = plucker.shape[0]
-        key = (
-            num_inference_steps, float(guidance_scale), multistep, accumulate_step,
-            decode, latents is None, F_mats is not None, H_mats is not None,
-            c2w is not None, V,
-        )
-        if key not in self._jitted:
-            self._jitted[key] = jax.jit(
-                partial(
-                    self._run,
-                    num_inference_steps=num_inference_steps,
-                    guidance_scale=float(guidance_scale),
-                    multistep=multistep,
-                    accumulate_step=accumulate_step,
-                    decode=decode,
-                ),
-                # plucker (arg 3) is dead after the one pose-encoder call;
-                # donating frees its ~150 MB f32 buffer (6 views is within
-                # ~230 MB of the v5e HBM limit)
-                donate_argnums=(3,),
-            )
         from cvd_tpu.models import layers as _layers
 
         # trace-time kernel switches (see pipelines/simple.py)
@@ -114,6 +103,33 @@ class AdvancedPipeline:
         _layers.FLASH_SPATIAL = self.use_flash_kernel
         _layers.SHARD_MESH = self.mesh if self.use_flash_kernel else None
         try:
+            if step_chunk:
+                return self._call_chunked(
+                    prompt_ids, negative_ids, plucker, c2w, K_mats, F_mats,
+                    H_mats, num_inference_steps, float(guidance_scale),
+                    multistep, accumulate_step, rng, latents, decode,
+                    int(step_chunk),
+                )
+            key = (
+                num_inference_steps, float(guidance_scale), multistep,
+                accumulate_step, decode, latents is None, F_mats is not None,
+                H_mats is not None, c2w is not None, V,
+            )
+            if key not in self._jitted:
+                self._jitted[key] = jax.jit(
+                    partial(
+                        self._run,
+                        num_inference_steps=num_inference_steps,
+                        guidance_scale=float(guidance_scale),
+                        multistep=multistep,
+                        accumulate_step=accumulate_step,
+                        decode=decode,
+                    ),
+                    # plucker (arg 3) is dead after the one pose-encoder
+                    # call; donating frees its ~150 MB f32 buffer (6 views
+                    # is within ~230 MB of the v5e HBM limit)
+                    donate_argnums=(3,),
+                )
             return self._jitted[key](
                 self.m.params_bundle(), prompt_ids, negative_ids, plucker,
                 c2w, K_mats, F_mats, H_mats, rng, latents,
@@ -123,13 +139,11 @@ class AdvancedPipeline:
 
     # ------------------------------------------------------------------ #
 
-    def _run(
-        self, params, prompt_ids, negative_ids, plucker, c2w, K_mats, F_mats,
-        H_mats, rng, latents=None, *, num_inference_steps, guidance_scale,
-        multistep, accumulate_step, decode,
-    ):
+    def _prepare(self, params, prompt_ids, negative_ids, plucker, rng,
+                 latents=None):
+        """Text encode + pose encode + latent init (everything before the
+        denoising scan). Shared by the whole-run jit and the chunked path."""
         m = self.m
-        sched_state = m.scheduler.set_timesteps(num_inference_steps)
         V, F, H, W, _ = plucker.shape
         h, w = H // 8, W // 8
 
@@ -137,8 +151,6 @@ class AdvancedPipeline:
         # interleaved rows: [u, c] x V
         text = jnp.concatenate([uncond, cond], axis=0)
         text = jnp.tile(text, (V, 1, 1))
-
-        from cvd_tpu.parallel import constrain as _constrain
 
         # UNet compute dtype (see pipelines/simple.py — f32 features held
         # across the scan dominate HBM at high view counts)
@@ -155,7 +167,93 @@ class AdvancedPipeline:
         if latents is None:
             latents = jax.random.normal(init_key, (V, F, h, w, 4), jnp.float32)
         latents = latents * m.scheduler.init_noise_sigma
+        return text, pose_feats, latents, rng
 
+    def _run(
+        self, params, prompt_ids, negative_ids, plucker, c2w, K_mats, F_mats,
+        H_mats, rng, latents=None, *, num_inference_steps, guidance_scale,
+        multistep, accumulate_step, decode,
+    ):
+        m = self.m
+        sched_state = m.scheduler.set_timesteps(num_inference_steps)
+        text, pose_feats, latents, rng = self._prepare(
+            params, prompt_ids, negative_ids, plucker, rng, latents
+        )
+        n_steps = len(sched_state.timesteps)
+        latents, rng = self._sampling_scan(
+            params, text, pose_feats, c2w, K_mats, F_mats, H_mats, latents,
+            rng, sched_state.timesteps, jnp.arange(n_steps),
+            total_steps=num_inference_steps, guidance_scale=guidance_scale,
+            multistep=multistep, accumulate_step=accumulate_step,
+        )
+        if not decode:
+            return latents
+        return decode_latents(m, params["vae"], latents)
+
+    def _call_chunked(
+        self, prompt_ids, negative_ids, plucker, c2w, K_mats, F_mats, H_mats,
+        num_inference_steps, guidance_scale, multistep, accumulate_step, rng,
+        latents, decode, step_chunk,
+    ):
+        """Host-driven chunked sampling: one compiled chunk program executed
+        ceil(T/step_chunk) times (equal-size chunks share the executable; a
+        ragged final chunk compiles once more). See __call__ docstring."""
+        import numpy as np
+
+        m = self.m
+        params = self.m.params_bundle()
+        V = plucker.shape[0]
+
+        pkey = ("chunk-prep", latents is None, V, plucker.shape[1:])
+        if pkey not in self._jitted:
+            self._jitted[pkey] = jax.jit(self._prepare, donate_argnums=(3,))
+        text, pose_feats, latents, rng = self._jitted[pkey](
+            params, prompt_ids, negative_ids, plucker, rng, latents
+        )
+
+        sched_state = m.scheduler.set_timesteps(num_inference_steps)
+        ts_all = np.asarray(sched_state.timesteps)
+        n_steps = len(ts_all)
+        for start in range(0, n_steps, step_chunk):
+            stop = min(start + step_chunk, n_steps)
+            ckey = ("chunk-scan", stop - start, float(guidance_scale),
+                    multistep, accumulate_step, F_mats is not None,
+                    H_mats is not None, c2w is not None, V)
+            if ckey not in self._jitted:
+                self._jitted[ckey] = jax.jit(
+                    partial(
+                        self._sampling_scan,
+                        total_steps=num_inference_steps,
+                        guidance_scale=float(guidance_scale),
+                        multistep=multistep,
+                        accumulate_step=accumulate_step,
+                    ),
+                    donate_argnums=(7, 8),  # latents, rng carry between chunks
+                )
+            latents, rng = self._jitted[ckey](
+                params, text, pose_feats, c2w, K_mats, F_mats, H_mats,
+                latents, rng, jnp.asarray(ts_all[start:stop]),
+                jnp.arange(start, stop),
+            )
+        if not decode:
+            return latents
+        dkey = ("chunk-decode", V)
+        if dkey not in self._jitted:
+            self._jitted[dkey] = jax.jit(
+                lambda vp, z: decode_latents(m, vp, z))
+        return self._jitted[dkey](params["vae"], latents)
+
+    def _sampling_scan(
+        self, params, text, pose_feats, c2w, K_mats, F_mats, H_mats, latents,
+        rng, ts, t_idx, *, total_steps, guidance_scale, multistep,
+        accumulate_step,
+    ):
+        """The denoising scan over the given (timestep, index) slices; the
+        whole-run jit passes all of them, the chunked path one slice per
+        execution (is_last keys off the GLOBAL step index)."""
+        m = self.m
+        sched_state = m.scheduler.set_timesteps(total_steps)
+        V, F = latents.shape[:2]
         two_f = 2 * F
         row = jnp.arange(2 * V * F)
         row_v = row // two_f
@@ -263,12 +361,10 @@ class AdvancedPipeline:
             and c2w is not None and H_mats is None and F_mats is None
         )
 
-        n_steps = len(sched_state.timesteps)
-
         def timestep_body(carry, scan_in):
             lat, key = carry
-            t, t_idx = scan_in
-            is_last = t_idx == n_steps - 1
+            t, global_idx = scan_in
+            is_last = global_idx == total_steps - 1
 
             def mt_body(mt_carry, mt_idx):
                 lat_mt, k = mt_carry
@@ -316,11 +412,7 @@ class AdvancedPipeline:
             )
             return (lat, key), None
 
-        (latents, _), _ = jax.lax.scan(
-            timestep_body,
-            (latents, rng),
-            (sched_state.timesteps, jnp.arange(n_steps)),
+        (latents, rng), _ = jax.lax.scan(
+            timestep_body, (latents, rng), (ts, t_idx)
         )
-        if not decode:
-            return latents
-        return decode_latents(m, params["vae"], latents)
+        return latents, rng

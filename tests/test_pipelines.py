@@ -104,6 +104,29 @@ def test_advanced_pipeline_multiview_multistep(modules, prompts):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_advanced_step_chunk_matches_whole_run(modules, prompts):
+    """Host-driven chunked sampling (step_chunk) must be bitwise identical
+    to the single whole-run program — the chunk boundary only splits the
+    lax.scan xs (incl. a ragged final chunk: 3 steps at chunk 2)."""
+    V = 4
+    c2ws = G.circle_trajectory(V, F_FRAMES, camera_dist=0.3)
+    K = default_intrinsics(V, F_FRAMES, IMG, IMG)
+    intr = np.stack([K[:, 0, 0], K[:, 1, 1], K[:, 0, 2], K[:, 1, 2]], -1)
+    plucker = G.ray_condition(
+        jnp.asarray(intr, jnp.float32)[None], jnp.asarray(c2ws, jnp.float32)[None],
+        IMG, IMG,
+    )[0].reshape(V, F_FRAMES, IMG, IMG, 6)
+    ids, neg = prompts
+    pipe = AdvancedPipeline(modules)
+    kw = dict(c2w=jnp.asarray(c2ws, jnp.float32),
+              K_mats=jnp.asarray(K, jnp.float32),
+              num_inference_steps=3, multistep=2, accumulate_step=2,
+              rng=jax.random.key(3), decode=False)
+    full = pipe(ids, neg, jnp.copy(plucker), **kw)
+    chunked = pipe(ids, neg, jnp.copy(plucker), **kw, step_chunk=2)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(chunked))
+
+
 def test_advanced_pipeline_homography_path(modules, camera_inputs, prompts):
     plucker, _, _, _ = camera_inputs
     ids, neg = prompts
