@@ -79,6 +79,25 @@ def test_temporal_site_reuses_cached_output():
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
 
 
+def test_epi_site_reuses_cached_output_and_zeroes_aux():
+    from cvd_tpu.models.epi import EpiSelfAttention
+
+    mod = EpiSelfAttention(dim=16, heads=2)
+    x1 = jax.random.normal(jax.random.key(0), (4, 16, 16))
+    x2 = jax.random.normal(jax.random.key(1), (4, 16, 16))
+    params = mod.init(jax.random.key(2), x1, None)
+    (out1, qk1), mut = mod.apply(params, x1, None,
+                                 pab_reuse=jnp.zeros((), bool),
+                                 mutable=["pab"])
+    (out2, qk2), _ = mod.apply({**params, **mut}, x2, None,
+                               pab_reuse=jnp.ones((), bool),
+                               mutable=["pab"])
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    # PAB is inference-only: aux q/k maps come back as zeros
+    assert not np.asarray(qk1["query"]).any()
+    assert not np.asarray(qk2["key"]).any()
+
+
 def test_unet_rejects_pab_with_scan_dedup():
     import dataclasses
 
