@@ -568,7 +568,7 @@ def main():
     p.add_argument("--pab", action="store_true",
                    help="Pyramid Attention Broadcast: reuse cached "
                         "attention outputs on statically scheduled steps "
-                        "(simple pipeline; forces --no-scan-layers)")
+                        "(simple + advanced; forces --no-scan-layers)")
     p.add_argument("--pab-ranges", type=str, default="",
                    help="e.g. 'spatial=2,cross=3,temporal=2,epi=1'")
     p.add_argument("--no-train-row", action="store_true",
@@ -612,6 +612,13 @@ def main():
     F, IMG = args.frames, args.size
     c2ws, K, plucker, ids, neg = _camera_inputs(V, F, IMG)
 
+    pab_cfg = None
+    if args.pab:
+        from cvd_tpu.pipelines.pab import PABConfig
+
+        pab_cfg = (PABConfig.from_string(args.pab_ranges)
+                   if args.pab_ranges else PABConfig())
+
     if args.advanced:
         from cvd_tpu.pipelines.advanced import AdvancedPipeline
 
@@ -625,17 +632,11 @@ def main():
             K_mats=jnp.asarray(K, jnp.float32),
             num_inference_steps=args.steps, multistep=args.multistep,
             accumulate_step=args.accumulate, rng=key, decode=decode,
-            step_chunk=args.step_chunk,
+            step_chunk=args.step_chunk, pab_config=pab_cfg,
         )
     else:
         from cvd_tpu.pipelines.simple import SimplePipeline
 
-        pab_cfg = None
-        if args.pab:
-            from cvd_tpu.pipelines.pab import PABConfig
-
-            pab_cfg = (PABConfig.from_string(args.pab_ranges)
-                       if args.pab_ranges else PABConfig())
         F_mats = _pair_F_mats(c2ws, K, F)
         pipe = SimplePipeline(modules, F_mat_size=IMG)
         run_pipe = lambda key, decode: pipe(ids, neg, plucker, F_mats,

@@ -105,6 +105,15 @@ def main(args):
 
         mesh = inference_mesh(len(jax.devices()))
         logger.info(f"sharded sampling over mesh {dict(mesh.shape)}")
+    pab_config = None
+    if args.pab:
+        if args.sharded:
+            raise SystemExit("--pab + --sharded is not validated; pick one")
+        from cvd_tpu.pipelines.pab import PABConfig
+
+        pab_config = (PABConfig.from_string(args.pab_ranges)
+                      if args.pab_ranges else PABConfig())
+        logger.info(f"PAB enabled: {pab_config}")
     pipe = AdvancedPipeline(
         modules,
         F_mat_size=args.image_height,
@@ -137,6 +146,7 @@ def main(args):
                     accumulate_step=args.accumulate_step,
                     rng=jax.random.key(seed),
                     step_chunk=args.step_chunk,
+                    pab_config=pab_config,
                 )
             )  # [V, F, H, W, 3]
 
@@ -202,6 +212,14 @@ def build_parser():
                    help="shard sampling over all local devices "
                         "(rows x frames mesh; kernels stay active per shard)")
     p.add_argument("--fix_firstframe", action="store_true")
+    p.add_argument("--pab", action="store_true",
+                   help="Pyramid Attention Broadcast: reuse attention "
+                        "outputs on scheduled outer steps (speed/quality "
+                        "trade; see pipelines/pab.py). Requires "
+                        "--no-scan_layers (per-layer caches)")
+    p.add_argument("--pab_ranges", type=str, default="",
+                   help="per-class broadcast ranges, e.g. "
+                        "'spatial=2,cross=3,temporal=2,epi=1'")
     return p
 
 

@@ -85,6 +85,7 @@ class AdvancedPipeline:
         latents: Optional[jnp.ndarray] = None,
         decode: bool = True,
         step_chunk: Optional[int] = None,
+        pab_config=None,
     ):
         """step_chunk: run the denoising scan as ceil(T/step_chunk) separate
         executions of ONE compiled chunk program instead of a single
@@ -93,7 +94,13 @@ class AdvancedPipeline:
         execution would run for minutes — the remote-TPU worker was
         observed to crash partway through a ~430 s single execution
         (6 views x multistep 6 x accumulate 2 x 25 steps) while the same
-        program at 2 steps ran fine."""
+        program at 2 steps ran fine.
+
+        pab_config: optional pipelines.pab.PABConfig — Pyramid Attention
+        Broadcast. Reuse flags are per OUTER timestep (all
+        multistep x accumulate calls of a reuse step reuse together); the
+        epi class defaults to recompute-every-call, which also keeps the
+        per-call random re-pairing exact."""
         rng = rng if rng is not None else jax.random.key(0)
         V = plucker.shape[0]
         from cvd_tpu.models import layers as _layers
@@ -108,12 +115,12 @@ class AdvancedPipeline:
                     prompt_ids, negative_ids, plucker, c2w, K_mats, F_mats,
                     H_mats, num_inference_steps, float(guidance_scale),
                     multistep, accumulate_step, rng, latents, decode,
-                    int(step_chunk),
+                    int(step_chunk), pab_config,
                 )
             key = (
                 num_inference_steps, float(guidance_scale), multistep,
                 accumulate_step, decode, latents is None, F_mats is not None,
-                H_mats is not None, c2w is not None, V,
+                H_mats is not None, c2w is not None, V, pab_config,
             )
             if key not in self._jitted:
                 self._jitted[key] = jax.jit(
@@ -124,6 +131,7 @@ class AdvancedPipeline:
                         multistep=multistep,
                         accumulate_step=accumulate_step,
                         decode=decode,
+                        pab_config=pab_config,
                     ),
                     # plucker (arg 3) is dead after the one pose-encoder
                     # call; donating frees its ~150 MB f32 buffer (6 views
@@ -172,7 +180,7 @@ class AdvancedPipeline:
     def _run(
         self, params, prompt_ids, negative_ids, plucker, c2w, K_mats, F_mats,
         H_mats, rng, latents=None, *, num_inference_steps, guidance_scale,
-        multistep, accumulate_step, decode,
+        multistep, accumulate_step, decode, pab_config=None,
     ):
         m = self.m
         sched_state = m.scheduler.set_timesteps(num_inference_steps)
@@ -180,12 +188,14 @@ class AdvancedPipeline:
             params, prompt_ids, negative_ids, plucker, rng, latents
         )
         n_steps = len(sched_state.timesteps)
-        latents, rng = self._sampling_scan(
+        out = self._sampling_scan(
             params, text, pose_feats, c2w, K_mats, F_mats, H_mats, latents,
             rng, sched_state.timesteps, jnp.arange(n_steps),
             total_steps=num_inference_steps, guidance_scale=guidance_scale,
             multistep=multistep, accumulate_step=accumulate_step,
+            pab_config=pab_config,
         )
+        latents = out[0]
         if not decode:
             return latents
         return decode_latents(m, params["vae"], latents)
@@ -193,11 +203,12 @@ class AdvancedPipeline:
     def _call_chunked(
         self, prompt_ids, negative_ids, plucker, c2w, K_mats, F_mats, H_mats,
         num_inference_steps, guidance_scale, multistep, accumulate_step, rng,
-        latents, decode, step_chunk,
+        latents, decode, step_chunk, pab_config=None,
     ):
         """Host-driven chunked sampling: one compiled chunk program executed
         ceil(T/step_chunk) times (equal-size chunks share the executable; a
-        ragged final chunk compiles once more). See __call__ docstring."""
+        ragged final chunk compiles once more). See __call__ docstring.
+        With PAB, the attention cache threads between chunk executions."""
         import numpy as np
 
         m = self.m
@@ -214,11 +225,14 @@ class AdvancedPipeline:
         sched_state = m.scheduler.set_timesteps(num_inference_steps)
         ts_all = np.asarray(sched_state.timesteps)
         n_steps = len(ts_all)
+        cache = None
         for start in range(0, n_steps, step_chunk):
             stop = min(start + step_chunk, n_steps)
+            first = start == 0
             ckey = ("chunk-scan", stop - start, float(guidance_scale),
                     multistep, accumulate_step, F_mats is not None,
-                    H_mats is not None, c2w is not None, V)
+                    H_mats is not None, c2w is not None, V, pab_config,
+                    first and pab_config is not None)
             if ckey not in self._jitted:
                 self._jitted[ckey] = jax.jit(
                     partial(
@@ -227,14 +241,19 @@ class AdvancedPipeline:
                         guidance_scale=float(guidance_scale),
                         multistep=multistep,
                         accumulate_step=accumulate_step,
+                        pab_config=pab_config,
                     ),
                     donate_argnums=(7, 8),  # latents, rng carry between chunks
                 )
-            latents, rng = self._jitted[ckey](
+            out = self._jitted[ckey](
                 params, text, pose_feats, c2w, K_mats, F_mats, H_mats,
                 latents, rng, jnp.asarray(ts_all[start:stop]),
-                jnp.arange(start, stop),
+                jnp.arange(start, stop), pab_cache=cache,
             )
+            if pab_config is None:
+                latents, rng = out
+            else:
+                latents, rng, cache = out
         if not decode:
             return latents
         dkey = ("chunk-decode", V)
@@ -245,12 +264,17 @@ class AdvancedPipeline:
 
     def _sampling_scan(
         self, params, text, pose_feats, c2w, K_mats, F_mats, H_mats, latents,
-        rng, ts, t_idx, *, total_steps, guidance_scale, multistep,
-        accumulate_step,
+        rng, ts, t_idx, pab_cache=None, *, total_steps, guidance_scale,
+        multistep, accumulate_step, pab_config=None,
     ):
         """The denoising scan over the given (timestep, index) slices; the
         whole-run jit passes all of them, the chunked path one slice per
-        execution (is_last keys off the GLOBAL step index)."""
+        execution (is_last keys off the GLOBAL step index).
+
+        With pab_config, returns (latents, rng, cache): reuse flags are
+        indexed by the GLOBAL step, every UNet call of a reuse step reuses
+        the "pab" collection carried through all three scan levels
+        (timestep / multistep / accumulate)."""
         m = self.m
         sched_state = m.scheduler.set_timesteps(total_steps)
         V, F = latents.shape[:2]
@@ -297,7 +321,24 @@ class AdvancedPipeline:
 
         from cvd_tpu.parallel import constrain
 
-        def guided_eps(lat, t, key):
+        def _apply_unet(lat_in, t, text_in, pf, cond_t, slope_key, flags,
+                        cache):
+            """One UNet call, PAB-aware: flags None -> plain apply (cache
+            passes through untouched, () when PAB is off)."""
+            if flags is None:
+                eps, _ = m.unet.apply(
+                    params["unet"], lat_in, t, text_in, pf, cond_t,
+                    rngs={"epi_slope": slope_key},
+                )
+                return eps, cache
+            (eps, _), mut = m.unet.apply(
+                {**params["unet"], "pab": cache}, lat_in, t, text_in, pf,
+                cond_t, rngs={"epi_slope": slope_key}, pab=flags,
+                mutable=["pab"],
+            )
+            return eps, mut["pab"]
+
+        def guided_eps(lat, t, key, flags, cache):
             pair_key, slope_key = jax.random.split(key)
             cond_t = make_cond(pair_key)
             lat_in = interleave_cfg(lat)
@@ -307,13 +348,11 @@ class AdvancedPipeline:
                 constrain(interleave_cfg(p), self.mesh, "rows", "frames")
                 for p in pose_feats
             ]
-            eps, _ = m.unet.apply(
-                params["unet"], lat_in, t, text, pf, cond_t,
-                rngs={"epi_slope": slope_key},
-            )
-            return eps[0::2] + guidance_scale * (eps[1::2] - eps[0::2])
+            eps, cache = _apply_unet(lat_in, t, text, pf, cond_t, slope_key,
+                                     flags, cache)
+            return eps[0::2] + guidance_scale * (eps[1::2] - eps[0::2]), cache
 
-        def guided_eps_batched(lat, t, key):
+        def guided_eps_batched(lat, t, key, flags, cache):
             """accumulate_step pairings in ONE UNet call at batch 2V*acc:
             group g gets its own pairing/F-mats, kv routing offset into its
             own 2VF row block. Same per-group keys as the scan path, so the
@@ -348,35 +387,55 @@ class AdvancedPipeline:
                 )
                 for p in pose_feats
             ]
-            eps, _ = m.unet.apply(
-                params["unet"], lat_in, t, text_b, pf, cond_t,
-                rngs={"epi_slope": slope_key},
-            )
+            eps, cache = _apply_unet(lat_in, t, text_b, pf, cond_t,
+                                     slope_key, flags, cache)
             eps = eps.reshape((A, 2 * V) + eps.shape[1:])
             g_eps = eps[:, 0::2] + guidance_scale * (eps[:, 1::2] - eps[:, 0::2])
-            return g_eps.astype(jnp.float32).sum(axis=0)
+            return g_eps.astype(jnp.float32).sum(axis=0), cache
 
         use_batched_acc = (
             self.accumulate_batched and accumulate_step > 1
             and c2w is not None and H_mats is None and F_mats is None
         )
 
+        if pab_config is not None:
+            from cvd_tpu.pipelines.pab import CLASSES as _PAB_CLASSES
+            from cvd_tpu.pipelines.pab import reuse_masks
+
+            masks_np = reuse_masks(total_steps, pab_config)
+            masks_j = {c: jnp.asarray(masks_np[c]) for c in _PAB_CLASSES}
+            if pab_cache is None:
+                flags0 = {c: jnp.zeros((), bool) for c in _PAB_CLASSES}
+                fn = guided_eps_batched if use_batched_acc else guided_eps
+                _, cache_sds = jax.eval_shape(
+                    lambda lat, k: fn(lat, ts[0], k, flags0, {}),
+                    latents, rng,
+                )
+                pab_cache = jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), cache_sds)
+        else:
+            pab_cache = ()  # trivial carry placeholder
+
         def timestep_body(carry, scan_in):
-            lat, key = carry
+            lat, key, cache = carry
             t, global_idx = scan_in
             is_last = global_idx == total_steps - 1
+            flags = (None if pab_config is None else
+                     {c: masks_j[c][global_idx] for c in masks_j})
 
             def mt_body(mt_carry, mt_idx):
-                lat_mt, k = mt_carry
+                lat_mt, k, cache = mt_carry
                 # only the first iteration runs on the last timestep (:602)
                 active = jnp.logical_or(mt_idx == 0, jnp.logical_not(is_last))
 
-                def run(lat_mt, k):
+                def run(lat_mt, k, cache):
                     k, acc_key = jax.random.split(k)
                     if accumulate_step == 1:
-                        eps_sum = guided_eps(lat_mt, t, acc_key)
+                        eps_sum, cache = guided_eps(lat_mt, t, acc_key,
+                                                    flags, cache)
                     elif use_batched_acc:
-                        eps_sum = guided_eps_batched(lat_mt, t, acc_key)
+                        eps_sum, cache = guided_eps_batched(
+                            lat_mt, t, acc_key, flags, cache)
                     else:
                         # scan over pairings so the UNet body is traced ONCE
                         # regardless of accumulate_step: a Python loop
@@ -384,11 +443,14 @@ class AdvancedPipeline:
                         # multistep scan, and the doubled program reliably
                         # crashes the remote TPU compiler (observed at 4
                         # and 6 views with accumulate_step=2)
-                        def acc_body(eps_acc, ak):
-                            return eps_acc + guided_eps(lat_mt, t, ak), None
+                        def acc_body(acc_carry, ak):
+                            eps_acc, cache = acc_carry
+                            eps_k, cache = guided_eps(lat_mt, t, ak, flags,
+                                                      cache)
+                            return (eps_acc + eps_k, cache), None
 
-                        eps_sum, _ = jax.lax.scan(
-                            acc_body, jnp.zeros_like(lat_mt),
+                        (eps_sum, cache), _ = jax.lax.scan(
+                            acc_body, (jnp.zeros_like(lat_mt), cache),
                             jax.random.split(acc_key, accumulate_step),
                         )
                     lat_next = m.scheduler.step(
@@ -401,18 +463,23 @@ class AdvancedPipeline:
                     )
                     noise = jax.random.normal(nk, lat_next.shape, lat_next.dtype)
                     lat_re = m.scheduler.renoise(sched_state, lat_next, t, noise)
-                    return jnp.where(renoise, lat_re, lat_next), k
+                    return jnp.where(renoise, lat_re, lat_next), k, cache
 
-                lat_new, k_new = run(lat_mt, k)
+                lat_new, k_new, cache = run(lat_mt, k, cache)
+                # inactive only on the last global step's extra multistep
+                # iterations, after which the cache is never consumed — the
+                # stale-cache write is harmless
                 lat_mt = jnp.where(active, lat_new, lat_mt)
-                return (lat_mt, k_new), None
+                return (lat_mt, k_new, cache), None
 
-            (lat, key), _ = jax.lax.scan(
-                mt_body, (lat, key), jnp.arange(multistep)
+            (lat, key, cache), _ = jax.lax.scan(
+                mt_body, (lat, key, cache), jnp.arange(multistep)
             )
-            return (lat, key), None
+            return (lat, key, cache), None
 
-        (latents, rng), _ = jax.lax.scan(
-            timestep_body, (latents, rng), (ts, t_idx)
+        (latents, rng, pab_cache), _ = jax.lax.scan(
+            timestep_body, (latents, rng, pab_cache), (ts, t_idx)
         )
-        return latents, rng
+        if pab_config is None:
+            return latents, rng
+        return latents, rng, pab_cache

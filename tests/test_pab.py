@@ -166,3 +166,66 @@ def test_pab_active_runs_and_engages(pipe_inputs):
     assert bool(jnp.isfinite(on).all())
     # caching engaged: the trajectory must actually diverge from baseline
     assert float(jnp.abs(on - base).max()) > 0
+
+
+# ------------------------------------------------- advanced pipeline (slow)
+@pytest.fixture(scope="module")
+def adv_inputs():
+    from cvd_tpu import geometry as G
+    from cvd_tpu.geometry.trajectories import default_intrinsics
+
+    V, F, IMG = 2, 4, 64
+    c2ws = G.circle_trajectory(V, F, camera_dist=0.3)
+    K = default_intrinsics(V, F, IMG, IMG)
+    intr = np.stack([K[:, 0, 0], K[:, 1, 1], K[:, 0, 2], K[:, 1, 2]], -1)
+    plucker = G.ray_condition(
+        jnp.asarray(intr, jnp.float32)[None],
+        jnp.asarray(c2ws, jnp.float32)[None], IMG, IMG,
+    )[0].reshape(V, F, IMG, IMG, 6)
+    ids = jnp.zeros((1, 77), jnp.int32)
+    neg = jnp.ones((1, 77), jnp.int32)
+    return (ids, neg, plucker, jnp.asarray(c2ws, jnp.float32),
+            jnp.asarray(K, jnp.float32), IMG)
+
+
+@pytest.mark.slow
+def test_pab_advanced_ranges_one_is_bitwise_baseline(adv_inputs):
+    """Advanced pipeline: PAB with every range at 1 (never reuse) must be
+    bitwise-identical to the plain multistep/accumulate sampling scan."""
+    from tests.tiny import tiny_modules
+    from cvd_tpu.pipelines.advanced import AdvancedPipeline
+
+    ids, neg, plucker, c2w, K, IMG = adv_inputs
+    pipe = AdvancedPipeline(tiny_modules(latent_size=8, video_length=4),
+                            F_mat_size=IMG)
+    kw = dict(c2w=c2w, K_mats=K, num_inference_steps=3, multistep=2,
+              accumulate_step=2, rng=jax.random.key(5), decode=False)
+    base = pipe(ids, neg, jnp.copy(plucker), **kw)
+    same = pipe(ids, neg, jnp.copy(plucker), **kw,
+                pab_config=PABConfig(spatial=1, cross=1, temporal=1, epi=1))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(same))
+
+
+@pytest.mark.slow
+def test_pab_advanced_active_chunk_threads_cache(adv_inputs):
+    """Advanced pipeline with PAB engaged: the whole-run program and the
+    host-chunked (step_chunk) execution must agree bitwise — the attention
+    cache threads across chunk executions — and must actually diverge from
+    the no-PAB baseline (caching engaged)."""
+    from tests.tiny import tiny_modules
+    from cvd_tpu.pipelines.advanced import AdvancedPipeline
+
+    ids, neg, plucker, c2w, K, IMG = adv_inputs
+    pipe = AdvancedPipeline(tiny_modules(latent_size=8, video_length=4),
+                            F_mat_size=IMG)
+    cfg = PABConfig(spatial=2, cross=2, temporal=2, epi=2,
+                    start_frac=0.25, end_frac=1.0)
+    kw = dict(c2w=c2w, K_mats=K, num_inference_steps=4, multistep=2,
+              accumulate_step=2, rng=jax.random.key(5), decode=False)
+    base = pipe(ids, neg, jnp.copy(plucker), **kw)
+    on = pipe(ids, neg, jnp.copy(plucker), **kw, pab_config=cfg)
+    chunked = pipe(ids, neg, jnp.copy(plucker), **kw, pab_config=cfg,
+                   step_chunk=3)
+    assert bool(jnp.isfinite(on).all())
+    assert float(jnp.abs(on - base).max()) > 0
+    np.testing.assert_array_equal(np.asarray(on), np.asarray(chunked))
