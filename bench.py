@@ -57,8 +57,12 @@ import time
 
 import numpy as np
 
-INIT_WATCHDOG_SECONDS = 240  # healthy remote init measured at 110-130s;
-# 150s fired spuriously (r04 smoke) and burned a 60s retry sleep
+INIT_WATCHDOG_SECONDS = 240  # healthy remote init measured at 110-130s
+FIRST_PROBE_SECONDS = 150  # r04 lesson: watchdog retries are now immediate
+# (no 60s sleep — backend init keeps progressing in background threads, so
+# the retry probe typically returns instantly: r04 logged "healthy in 0.0s"
+# right after each pointless sleep). A short first probe therefore costs
+# nothing when it fires spuriously and saves 90s when the tunnel is wedged.
 
 # substrings that mark an error as a transient remote-backend failure worth
 # one retry; anything else (shape errors, OOM-by-design, bad flags) re-raises
@@ -152,7 +156,8 @@ def _init_backend(budget_s: float = 900.0):
     while True:
         attempt += 1
         try:
-            with _watchdog(INIT_WATCHDOG_SECONDS,
+            with _watchdog(FIRST_PROBE_SECONDS if attempt == 1
+                           else INIT_WATCHDOG_SECONDS,
                            "backend init + first device op"):
                 import jax
                 import jax.numpy as jnp
@@ -169,11 +174,18 @@ def _init_backend(budget_s: float = 900.0):
                 _BACKEND_WAS_HEALTHY = True
                 return
         except Exception as e:  # noqa: BLE001
-            if not _is_transient(e) or time.time() + 60 > deadline:
+            if not _is_transient(e):
+                raise
+            # watchdog timeouts retry IMMEDIATELY: init keeps progressing in
+            # background threads, so the next probe usually succeeds at once
+            # (r04: "healthy in 0.0s" after each wasted 60s sleep). Other
+            # transient errors (server restarting) still back off 60s.
+            wait = 5 if isinstance(e, _WatchdogTimeout) else 60
+            if time.time() + wait > deadline:
                 raise
             _note(f"health check failed ({type(e).__name__}: {e}); "
-                  f"attempt {attempt}, retrying in 60s")
-            time.sleep(60)
+                  f"attempt {attempt}, retrying in {wait}s")
+            time.sleep(wait)
 
 
 def _build_modules(args, dtype):
@@ -450,8 +462,11 @@ def _orchestrate(args):
         common.append("--no-scan-layers")
     py = [sys.executable, __file__]
 
+    # cap: the inference phase must leave room for the advanced + train
+    # phases even on a slow tunnel (its partial headline is emitted as soon
+    # as the e2e number exists, so a timeout kill here still parses)
     headline, err = _run_phase(py + common + ["--no-train-row"],
-                               timeout_s=2400)
+                               timeout_s=int(min(2400, budget_s * 0.45)))
     if headline is None:
         # nothing parsable from the inference phase: emit a bounded error
         # line so the driver artifact is at least diagnosable
@@ -460,6 +475,33 @@ def _orchestrate(args):
                "error": _short_err(err or "no output")})
         sys.exit(1)
     headline.pop("partial", None)
+
+    # advanced-pipeline row FIRST (r04 lesson: it ran last and timed out —
+    # the flagship N-view workload must land before the train row spends
+    # budget): 4 views, multistep 3 = 75 UNet calls at batch 8
+    if not args.tiny and _left() > 300:
+        adv_cmd = py + ["--advanced", "--views", "4", "--multistep", "3",
+                        "--steps", str(args.steps), "--frames",
+                        str(args.frames), "--size", str(args.size),
+                        "--repeats", "1", "--no-train-row"]
+        if args.f32:
+            adv_cmd.append("--f32")
+        adv_row, aerr = _run_phase(
+            adv_cmd, timeout_s=int(max(min(1100, _left() - 60), 60)),
+            to_stderr=True)
+        if adv_row is not None and \
+                adv_row.get("metric") == "advanced_videos_per_min_per_chip":
+            headline["advanced_videos_per_min"] = adv_row.get("value")
+            for k_src, k_dst in (("unet_step_ms", "advanced_unet_step_ms"),
+                                 ("mfu", "advanced_mfu"),
+                                 ("config", "advanced_config")):
+                if k_src in adv_row:
+                    headline[k_dst] = adv_row[k_src]
+        elif aerr:
+            headline["advanced_row_error"] = _short_err(aerr)
+    elif not args.tiny:
+        headline["advanced_row_error"] = \
+            "skipped: total bench budget exhausted before advanced phase"
 
     train_row, terr = None, None
     if _left() > 240:
@@ -490,32 +532,6 @@ def _orchestrate(args):
             headline["train_compile_seconds"] = train_row["compile_seconds"]
     if terr:
         headline["train_row_error"] = _short_err(terr)
-
-    # advanced-pipeline row: the flagship N-view workload gets a driver-
-    # visible number too (4 views, multistep 3 = 75 UNet calls at batch 8)
-    if not args.tiny and _left() > 300:
-        adv_cmd = py + ["--advanced", "--views", "4", "--multistep", "3",
-                        "--steps", str(args.steps), "--frames",
-                        str(args.frames), "--size", str(args.size),
-                        "--repeats", "1", "--no-train-row"]
-        if args.f32:
-            adv_cmd.append("--f32")
-        adv_row, aerr = _run_phase(
-            adv_cmd, timeout_s=int(max(min(900, _left() - 60), 60)),
-            to_stderr=True)
-        if adv_row is not None and \
-                adv_row.get("metric") == "advanced_videos_per_min_per_chip":
-            headline["advanced_videos_per_min"] = adv_row.get("value")
-            for k_src, k_dst in (("unet_step_ms", "advanced_unet_step_ms"),
-                                 ("mfu", "advanced_mfu"),
-                                 ("config", "advanced_config")):
-                if k_src in adv_row:
-                    headline[k_dst] = adv_row[k_src]
-        elif aerr:
-            headline["advanced_row_error"] = _short_err(aerr)
-    elif not args.tiny:
-        headline["advanced_row_error"] = \
-            "skipped: total bench budget exhausted before advanced phase"
 
     _emit(headline)  # the absolute last stdout line, bounded by construction
 

@@ -55,6 +55,19 @@ class CLIPTokenizerWrapper:
 
 
 def get_tokenizer(sd_folder: Optional[str]) -> object:
-    if sd_folder and os.path.isdir(os.path.join(sd_folder, "tokenizer")):
-        return CLIPTokenizerWrapper(sd_folder)
-    return HashTokenizer()
+    """Real-weights runs get the real tokenizer or an error — never a silent
+    hash fallback. The reference loads the tokenizer unconditionally from the
+    SD folder (inference_epi.py:77); a missing ``tokenizer/`` there means the
+    path is wrong, and encoding prompts with the hash stand-in would produce
+    garbage with no symptom. The hash tokenizer is reserved for weightless
+    smoke runs (``sd_folder is None``, i.e. --random_weights)."""
+    if sd_folder is None:
+        return HashTokenizer()
+    tok_dir = os.path.join(sd_folder, "tokenizer")
+    if not os.path.isdir(tok_dir):
+        raise FileNotFoundError(
+            f"no CLIP tokenizer at {tok_dir!r}: ori_model_path must point at "
+            "a diffusers SD folder containing tokenizer/ (use random weights "
+            "mode for weightless smoke runs)"
+        )
+    return CLIPTokenizerWrapper(sd_folder)

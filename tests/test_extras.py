@@ -171,3 +171,15 @@ def test_non_square_resolution_rejected_upfront():
     ])
     with _pytest.raises(SystemExit, match="even"):
         main2(args3)
+
+
+def test_tokenizer_hard_fails_on_missing_folder(tmp_path):
+    # A real-weights run must never silently fall back to the hash
+    # tokenizer (the reference loads it unconditionally, inference_epi.py:77)
+    import pytest
+
+    from cvd_tpu.io.tokenizer import HashTokenizer, get_tokenizer
+
+    assert isinstance(get_tokenizer(None), HashTokenizer)
+    with pytest.raises(FileNotFoundError, match="tokenizer"):
+        get_tokenizer(str(tmp_path))  # exists, but has no tokenizer/ subdir
