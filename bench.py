@@ -289,13 +289,26 @@ def _bench_train(args, modules, init_s):
     )
     rng = np.random.default_rng(0)
     batch = {
-        "pixel_values": jnp.asarray(
-            rng.standard_normal((B, F, IMG, IMG, 3), np.float32) * 0.5
-        ),
         "text_ids": jnp.concatenate([ids] * B, axis=0),
         "plucker": jnp.asarray(plucker[:B], jnp.float32),
         "F_mats": F_mats,
     }
+    if args.encode_in_step:
+        # legacy path: VAE-encode all 64 frames inside every step (the
+        # reference's in-loop no_grad encode, train_epi_control.py:514-523)
+        batch["pixel_values"] = jnp.asarray(
+            rng.standard_normal((B, F, IMG, IMG, 3), np.float32) * 0.5
+        )
+    else:
+        # production path: pre-encoded latents cache (cache_latents knob,
+        # data/latents_cache.py) — the step samples from stored posterior
+        # moments; the per-epoch-repeated encoder conv stack is gone
+        batch["latent_mean"] = jnp.asarray(
+            rng.standard_normal((B, F, IMG // 8, IMG // 8, 4), np.float32)
+        )
+        batch["latent_logvar"] = jnp.full(
+            (B, F, IMG // 8, IMG // 8, 4), -6.0, jnp.float32
+        )
     state = create_train_state(
         modules.unet_params,
         frozen_dtype=None if args.f32 else jnp.bfloat16,
@@ -334,7 +347,9 @@ def _bench_train(args, modules, init_s):
         "compile_seconds": round(compile_s, 1),
         "init_seconds": round(init_s, 1),
         "config": f"B{B}rows-{F}f-{IMG}px-remat-"
-                  f"{'f32' if args.f32 else 'bf16'}{'-tiny' if args.tiny else ''}",
+                  f"{'f32' if args.f32 else 'bf16'}"
+                  f"{'-encstep' if args.encode_in_step else '-latcache'}"
+                  f"{'-tiny' if args.tiny else ''}",
     }
     if not args.tiny:
         # standard MFU convention: fwd+bwd = 3x forward model FLOPs; remat
@@ -557,6 +572,10 @@ def main():
                         "2V*acc instead of an inner scan (A/B experiment)")
     p.add_argument("--train", action="store_true",
                    help="bench one full training iteration instead")
+    p.add_argument("--encode-in-step", action="store_true",
+                   help="train row: VAE-encode pixels inside the step "
+                        "(reference behavior) instead of the default "
+                        "pre-encoded-latents-cache input")
     p.add_argument("--scan-layers", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="UNetConfig.scan_identical_layers: dedup identical "

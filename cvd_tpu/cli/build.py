@@ -30,6 +30,10 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--ori_model_path", default=None, help="SD1.5 diffusers folder")
     p.add_argument("--unet_subfolder", default="unet", help="e.g. unet_webvidlora_v3")
     p.add_argument("--motion_module_ckpt", default=None)
+    p.add_argument("--motion_lora_ckpt", default=None,
+                   help="AnimateDiff motion-LoRA ckpt (pan/zoom effects), "
+                        "fused into the temporal attentions at load")
+    p.add_argument("--motion_lora_scale", type=float, default=1.0)
     p.add_argument("--epi_module_ckpt", default=None)
     p.add_argument("--pose_adaptor_ckpt", default=None)
     p.add_argument("--image_lora_ckpt", default=None)
@@ -37,10 +41,27 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--civitai_base_model", default=None)
     p.add_argument("--random-weights", action="store_true", dest="random_weights",
                    help="tiny random-weight smoke mode (no checkpoints needed)")
+    p.add_argument("--random-weights-full", action="store_true",
+                   dest="random_weights_full",
+                   help="FULL-SIZE random weights (host fast-init): real "
+                        "deployment shapes without checkpoint artifacts — "
+                        "perf/memory validation, garbage pixels")
     p.add_argument("--pose_adaptor_scale", type=float, default=1.0)
     p.add_argument("--bf16", action="store_true", help="bfloat16 activations")
     p.add_argument("--spatial_extended_attention", action="store_true")
     p.add_argument("--image_lora_rank", type=int, default=2)
+    p.add_argument("--controlnet_ckpt", default=None,
+                   help="AnimateDiff SparseCtrl ckpt; imported strictly "
+                        "into a SparseControlNetModel whose residuals the "
+                        "UNet accepts (down/mid additional_residuals)")
+    p.add_argument("--controlnet_simplified_embedding", action="store_true",
+                   help="v3-RGB SparseCtrl layout: single zero-init conv "
+                        "conditioning embedding over VAE latents")
+    p.add_argument("--sync_lora_rank", type=int, default=0,
+                   help="sync-LoRA rank on the pose-conditioned temporal "
+                        "attention (reference sync_lora_kwargs; 0 = off, "
+                        ">16 absolute, 1..16 resolves per layer)")
+    p.add_argument("--sync_lora_scale", type=float, default=1.0)
     p.add_argument("--model_config", default=None,
                    help="reference-format model config yaml")
     p.add_argument("--scan_layers", action=argparse.BooleanOptionalAction,
@@ -49,6 +70,48 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
                         "(~35%% faster compile, ~1 GB extra resident HBM; "
                         "measured 2026-08-19 on v5e). Default: on for "
                         "simple single-chip inference, off elsewhere")
+
+
+def load_sparse_controlnet(ckpt: str, unet_cfg: UNetConfig,
+                           simplified: bool = False):
+    """-> (SparseControlNetModel, params). Weights come ENTIRELY from the
+    ckpt (strict full-coverage import over a zeros tree), so no random init
+    or compile is paid. The returned residual-producer plugs into the
+    UNet's down/mid additional_residual inputs — the hooks the reference
+    keeps live even though no reference entry point loads this model
+    (sparse_controlnet.py:316)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cvd_tpu.io.checkpoints import load_sparse_controlnet_weights
+    from cvd_tpu.models.sparse_controlnet import SparseControlNetModel
+
+    cond_ch = 4 if simplified else 3
+    model = SparseControlNetModel(
+        unet_cfg, conditioning_channels=cond_ch,
+        use_simplified_condition_embedding=simplified,
+    )
+    B, F, h = 1, 2, 8
+    cr = h if simplified else 8 * h
+    shapes = jax.eval_shape(
+        lambda k: model.init(
+            k, jnp.zeros((B, F, h, h, 4)), jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B, 7, unet_cfg.cross_attention_dim)),
+            jnp.zeros((B, F, cr, cr, cond_ch)), jnp.zeros((B, F, cr, cr, 1)),
+        ),
+        jax.random.key(0),
+    )
+    zeros = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), shapes
+    )
+    params = load_sparse_controlnet_weights(zeros, ckpt)
+    # every param must have been written by the ckpt (zeros tree = no
+    # silent random weights); spot-check a non-zero-init leaf
+    flat = jax.tree_util.tree_leaves(params)
+    assert any(float(jnp.abs(np.asarray(x)).max()) > 0 for x in flat[:50]), \
+        "SparseCtrl import left the tree at zeros"
+    return model, params
 
 
 def build_modules(args, video_length: int, image_size: int,
@@ -62,18 +125,25 @@ def build_modules(args, video_length: int, image_size: int,
     dtype = jnp.bfloat16 if getattr(args, "bf16", False) else jnp.float32
     scan = getattr(args, "scan_layers", None)
     scan = scan_default if scan is None else scan
-    if args.random_weights or not args.ori_model_path:
+    if (args.random_weights or getattr(args, "random_weights_full", False)
+            or not args.ori_model_path):
         import dataclasses
 
+        full = getattr(args, "random_weights_full", False)
+        base_unet = UNetConfig() if full else SMOKE_UNET
         modules = PipelineModules.create(
             unet_config=dataclasses.replace(
-                SMOKE_UNET, pose_scale=args.pose_adaptor_scale, dtype=dtype,
+                base_unet, pose_scale=args.pose_adaptor_scale, dtype=dtype,
                 scan_identical_layers=scan,
+                sync_lora_rank=getattr(args, "sync_lora_rank", 0),
+                sync_lora_scale=getattr(args, "sync_lora_scale", 1.0),
             ),
-            vae_config=dataclasses.replace(SMOKE_VAE, dtype=dtype),
-            clip_config=SMOKE_CLIP,
+            vae_config=dataclasses.replace(
+                VAEConfig() if full else SMOKE_VAE, dtype=dtype),
+            clip_config=CLIPTextConfig() if full else SMOKE_CLIP,
             latent_size=image_size // 8,
             video_length=video_length,
+            fast_init=full,
         )
         return modules, get_tokenizer(None)
 
@@ -100,6 +170,8 @@ def build_modules(args, video_length: int, image_size: int,
             spatial_extended_attention=getattr(args, "spatial_extended_attention", False),
             spatial_lora_rank=lora_rank,
             scan_identical_layers=scan,
+            sync_lora_rank=getattr(args, "sync_lora_rank", 0),
+            sync_lora_scale=getattr(args, "sync_lora_scale", 1.0),
         )
     else:
         unet_cfg = UNetConfig(
@@ -107,6 +179,8 @@ def build_modules(args, video_length: int, image_size: int,
             spatial_extended_attention=getattr(args, "spatial_extended_attention", False),
             spatial_lora_rank=lora_rank,
             scan_identical_layers=scan,
+            sync_lora_rank=getattr(args, "sync_lora_rank", 0),
+            sync_lora_scale=getattr(args, "sync_lora_scale", 1.0),
             dtype=dtype,
         )
     modules = PipelineModules.create(
@@ -136,6 +210,8 @@ def build_modules(args, video_length: int, image_size: int,
         epi_module_ckpt=args.epi_module_ckpt,
         pose_adaptor_ckpt=args.pose_adaptor_ckpt,
         pose_encoder_params=modules.pose_encoder_params,
+        motion_lora_ckpt=getattr(args, "motion_lora_ckpt", None),
+        motion_lora_scale=getattr(args, "motion_lora_scale", 1.0),
     )
 
     if args.image_lora_ckpt:
@@ -151,6 +227,12 @@ def build_modules(args, video_length: int, image_size: int,
         state = load_torch_state(args.image_lora_ckpt, sub_dict=sub)
         modules.unet_params, consumed = merge_torch_state(modules.unet_params, state)
         assert len(consumed) == len(state), "unconsumed image-LoRA keys"
+
+    if getattr(args, "controlnet_ckpt", None):
+        modules.controlnet = load_sparse_controlnet(
+            args.controlnet_ckpt, unet_cfg,
+            simplified=getattr(args, "controlnet_simplified_embedding", False),
+        )
 
     if args.civitai_base_model:
         from cvd_tpu.io.ldm_convert import load_civitai_base_model

@@ -119,6 +119,12 @@ def main(args):
     margs.pose_adaptor_scale = cfg.get("pose_adaptor_scale", 1.0)
     margs.bf16 = cfg.get("bf16", False)
     margs.unet_subfolder = margs.unet_subfolder or "unet"
+    # sync-LoRA fine-tuning knobs (train_epi_control.py:117-118; params are
+    # created iff rank>0 and scale!=0, and their "sync" names join the
+    # trainable group)
+    margs.sync_lora_rank = cfg.get("sync_lora_rank", 0)
+    margs.sync_lora_scale = cfg.get("sync_lora_scale", 1.0)
+    margs.image_lora_rank = cfg.get("lora_rank", 4)
 
     sample_size = cfg.get("sample_size", 256)
     n_frames = cfg.get("sample_n_frames", 16)
@@ -185,6 +191,34 @@ def main(args):
         ]
     else:
         raise SystemExit(f"Unsupported dataset_name: {dataset_name!r}")
+
+    if cfg.get("cache_latents", False):
+        # encode-once latents cache (data/latents_cache.py): removes the
+        # per-step VAE encode (the reference re-encodes every clip every
+        # epoch, train_epi_control.py:514-523). Built on first run; posed
+        # sources only (unposed batches need warped_masks over pixels).
+        from cvd_tpu.data.latents_cache import (
+            CachedLatentsDataset, build_latents_cache,
+        )
+
+        cached_sources = []
+        for kind, dataset, weight in sources:
+            if kind != "posed":
+                cached_sources.append((kind, dataset, weight))
+                continue
+            cdir = cfg.get("latents_cache_dir",
+                           os.path.join(out_dir, "latents_cache"))
+            if not os.path.isdir(cdir) or not any(
+                f.endswith(".npz") for f in os.listdir(cdir)
+            ):
+                logger.info(f"building latents cache at {cdir}")
+                build_latents_cache(
+                    dataset, modules, cdir,
+                    num_items=cfg.get("latents_cache_items"),
+                    log=logger.info,
+                )
+            cached_sources.append((kind, CachedLatentsDataset(cdir), weight))
+        sources = cached_sources
 
     loaders = []
     for kind, dataset, weight in sources:
@@ -258,9 +292,13 @@ def main(args):
 
     def fold_batch(batch, texts):
         device_batch = {
-            "pixel_values": fold(batch["pixel_values"]),
             "text_ids": np.concatenate([tokenizer(texts)] * 2, axis=0),
         }
+        if "latent_mean" in batch:  # pre-encoded cache (data/latents_cache.py)
+            device_batch["latent_mean"] = fold(batch["latent_mean"])
+            device_batch["latent_logvar"] = fold(batch["latent_logvar"])
+        else:
+            device_batch["pixel_values"] = fold(batch["pixel_values"])
         if "plucker_embedding" in batch:  # posed (RealEstate10K)
             device_batch["plucker"] = fold(batch["plucker_embedding"])
             device_batch["F_mats"] = fold(batch["F_mats"])
@@ -325,7 +363,8 @@ def main(args):
         texts = [
             "" if pyrng.random() < null_ratio else t for t in batch["text"]
         ]
-        if do_sanity and global_step == 0 and jax.process_index() == 0:
+        if do_sanity and global_step == 0 and jax.process_index() == 0 \
+                and "pixel_values" in batch:  # cached-latents batches carry no pixels
             sanity_dump(batch, batch["text"])
         device_batch = shard_batch(
             jax.tree_util.tree_map(jnp.asarray, fold_batch(batch, texts)),

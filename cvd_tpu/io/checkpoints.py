@@ -52,10 +52,24 @@ def load_clip_weights(clip_params: Dict, folder: str, subfolder: str = "text_enc
     return params
 
 
-def load_motion_module_weights(unet_params: Dict, path: str) -> Dict:
-    """AnimateDiff motion-module ckpt (inference_epi.py:100-105)."""
+def load_motion_module_weights(
+    unet_params: Dict, path: str,
+    motion_lora_ckpt: Optional[str] = None,
+    motion_lora_scale: float = 1.0,
+) -> Dict:
+    """AnimateDiff motion-module ckpt (inference_epi.py:100-105), with
+    optional motion-LoRA (pan/zoom) fusion applied to the torch-layout
+    state before import (convert_lora_safetensor_to_diffusers.py:28-49)."""
     state = load_torch_state(path)
     state = {k: v for k, v in state.items() if "motion_modules" in k or "pos_encoder" in k}
+    if motion_lora_ckpt:
+        from cvd_tpu.io.lora import fuse_motion_lora_into_state
+
+        lora_raw = load_torch_state(motion_lora_ckpt)
+        # AnimateDiff motion-LoRA ckpts wrap the pairs in a 'state_dict' key
+        if not any(".down." in k or ".up." in k for k in lora_raw):
+            lora_raw = load_torch_state(motion_lora_ckpt, sub_dict="state_dict")
+        state = fuse_motion_lora_into_state(state, lora_raw, motion_lora_scale)
     params, consumed = merge_torch_state(unet_params, state)
     assert len(consumed) == len(state), "unconsumed motion-module keys"
     return params
@@ -66,6 +80,37 @@ def load_epi_module_weights(unet_params: Dict, path: str) -> Dict:
     state = load_torch_state(path, sub_dict="unet_trainable_dict")
     params, consumed = merge_torch_state(unet_params, state)
     assert len(consumed) == len(state), "unconsumed epi keys"
+    return params
+
+
+def sparsectrl_rename(key: str) -> str:
+    """Collapse the SparseCtrl ckpt's nested block paths onto the Flax
+    model's flat layer names (models/sparse_controlnet.py names layers
+    ``down_blocks_i_resnets_j`` etc. because the encoder copy is a single
+    module, not a block hierarchy)."""
+    import re
+
+    key = re.sub(
+        r"^down_blocks\.(\d+)\.(resnets|attentions|motion_modules|"
+        r"downsamplers)\.(\d+)\.",
+        r"down_blocks_\1_\2_\3.", key)
+    key = re.sub(r"^mid_block\.(resnets|attentions)\.(\d+)\.",
+                 r"mid_block_\1_\2.", key)
+    return key
+
+
+def load_sparse_controlnet_weights(params: Dict, path: str) -> Dict:
+    """AnimateDiff SparseCtrl ckpt (v3_sd15_sparsectrl_{rgb,scribble}.ckpt)
+    into SparseControlNetModel params. The reference ships the model but no
+    entry point loads it (sparse_controlnet.py:316 from_unet is never
+    called); this importer + the --controlnet_ckpt flag make the released
+    weights actually usable. Strict: zero unconsumed keys."""
+    state = load_torch_state(path)
+    if not any(k.startswith(("conv_in", "down_blocks")) for k in state):
+        state = load_torch_state(path, sub_dict="state_dict")
+    params, consumed = merge_torch_state(params, state,
+                                         rename=sparsectrl_rename)
+    assert len(consumed) == len(state), "unconsumed SparseCtrl keys"
     return params
 
 
@@ -94,13 +139,19 @@ def load_sd_pipeline_weights(
     epi_module_ckpt: Optional[str] = None,
     pose_adaptor_ckpt: Optional[str] = None,
     pose_encoder_params: Optional[Dict] = None,
+    motion_lora_ckpt: Optional[str] = None,
+    motion_lora_scale: float = 1.0,
 ):
     """The full reference load sequence. Returns (unet, vae, clip, pose_enc)."""
     unet_params = load_sd_unet_weights(unet_params, sd_folder, unet_subfolder)
     vae_params = load_vae_weights(vae_params, sd_folder)
     clip_params = load_clip_weights(clip_params, sd_folder)
     if motion_module_ckpt:
-        unet_params = load_motion_module_weights(unet_params, motion_module_ckpt)
+        unet_params = load_motion_module_weights(
+            unet_params, motion_module_ckpt,
+            motion_lora_ckpt=motion_lora_ckpt,
+            motion_lora_scale=motion_lora_scale,
+        )
     if epi_module_ckpt:
         unet_params = load_epi_module_weights(unet_params, epi_module_ckpt)
     if pose_adaptor_ckpt:

@@ -211,7 +211,9 @@ def flax_path_to_torch_key(path: Tuple[str, ...]) -> str:
         if leaf and el in ("kernel", "scale", "embedding"):
             out.append("weight")
             continue
-        if el == "qkv_merge":
+        if el == "qkv_merge" or el.endswith("_lora_sync"):
+            # these live on the diffusers attention *processor* module
+            # (qkv_merge: attention_processor.py:249; sync-LoRA: :262-270)
             out.append("processor")
         if el in _INV_SPECIAL:
             out.append(_INV_SPECIAL[el])

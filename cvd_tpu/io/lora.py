@@ -109,3 +109,47 @@ def _kohya_to_diffusers(flat: str, target: Dict[str, np.ndarray]) -> Optional[st
     want = flat.replace("_", "") + ".weight"
     matches = [k for k in target if k.replace(".", "").replace("_", "") == want.replace(".", "")]
     return matches[0] if len(matches) == 1 else None
+
+
+def fuse_motion_lora_into_state(
+    target_state: Dict[str, np.ndarray],
+    lora_state: Dict[str, np.ndarray],
+    scale: float = 1.0,
+) -> Dict[str, np.ndarray]:
+    """AnimateDiff motion-LoRA fusion (pan/zoom effect checkpoints) —
+    ``convert_motion_lora_ckpt_to_diffusers`` semantics
+    (animatediff/utils/convert_lora_safetensor_to_diffusers.py:28-49):
+    every ``.down.`` key pairs with its ``.up.`` twin and fuses directly
+    into the temporal-attention projection it names:
+
+        model_key = key without 'processor.', '_lora', 'down.', 'up.'
+                    (+ 'to_out.' -> 'to_out.0.')
+        W[model_key] += scale * up @ down
+
+    Runs on the torch-layout motion-module state dict BEFORE import, so
+    inference carries zero LoRA compute; the fusion-time ``scale`` replaces
+    the reference's runtime ``motion_lora_scale`` threading
+    (unet_blocks.py:274-279) — same math, applied once at load."""
+    out = dict(target_state)
+    fused = 0
+    for key in lora_state:
+        if "up." in key:
+            continue
+        up_key = key.replace(".down.", ".up.")
+        model_key = (key.replace("processor.", "").replace("_lora", "")
+                     .replace("down.", "").replace("up.", "")
+                     .replace("to_out.", "to_out.0."))
+        if model_key not in out:
+            raise KeyError(
+                f"motion-LoRA key {key} resolves to {model_key}, absent "
+                "from the motion-module state dict"
+            )
+        delta = lora_state[up_key].astype(np.float32) @ \
+            lora_state[key].astype(np.float32)
+        out[model_key] = (
+            out[model_key].astype(np.float32) + scale * delta
+        ).astype(target_state[model_key].dtype)
+        fused += 1
+    if fused == 0 and lora_state:
+        raise KeyError("no motion-LoRA pairs matched the state dict")
+    return out

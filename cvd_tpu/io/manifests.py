@@ -244,6 +244,80 @@ def cvd_epi_ckpt_manifest() -> Manifest:
     return m
 
 
+def cvd_sync_lora_manifest(sync_lora_rank: int = 4,
+                           image_lora_rank: int = 4) -> Manifest:
+    """Sync-LoRA keys a sync-enabled CVD fine-tune adds to the epi .ckpt's
+    ``unet_trainable_dict`` ("sync" matches the trainable-substring filter,
+    train_epi_control.py:254): to_{q,k,v,out}_lora_sync.{down,up} on the
+    pose-conditioned temporal attention '0' of every motion module
+    (attention_processor.py:262-270). Effective per-layer rank follows the
+    reference rule (unet.py:1092): absolute when >16, else
+    channels // image_lora_rank (the IMAGE-LoRA rank — reference quirk)."""
+    m: Manifest = {}
+    for blk, j, c in _mm_sites():
+        r = sync_lora_rank if sync_lora_rank > 16 else c // image_lora_rank
+        p = (f"{blk}.motion_modules.{j}.temporal_transformer."
+             f"transformer_blocks.0.attention_blocks.0.processor")
+        for proj in ("to_q", "to_k", "to_v", "to_out"):
+            m[f"{p}.{proj}_lora_sync.down.weight"] = (r, c)
+            m[f"{p}.{proj}_lora_sync.up.weight"] = (c, r)
+    return m
+
+
+def animatediff_sparsectrl_manifest(simplified: bool = False,
+                                    conditioning_channels: int = None) -> Manifest:
+    """AnimateDiff SparseCtrl ckpt keys (models/sparse_controlnet.py:85-313):
+    SD encoder copy + per-layer motion modules (ONE Temporal_Self attention,
+    :127-134) + conditioning embedding (pyramid, or a single zero conv when
+    ``simplified`` — the v3 RGB ckpt layout, :181-184) + zero convs. The
+    conditioning input gains a mask channel (concate_conditioning_mask,
+    :176-178)."""
+    m: Manifest = {}
+    _conv(m, "conv_in", CH[0], 4, 3)
+    _linear(m, "time_embedding.linear_1", TEMB, CH[0])
+    _linear(m, "time_embedding.linear_2", TEMB, TEMB)
+    if conditioning_channels is None:
+        # simplified (RGB) conditions on VAE latents (4ch), pyramid on RGB
+        conditioning_channels = (4 if simplified else 3) + 1  # + mask
+    if simplified:
+        _conv(m, "controlnet_cond_embedding", CH[0], conditioning_channels, 3)
+    else:
+        cond_ch = (16, 32, 96, 256)
+        _conv(m, "controlnet_cond_embedding.conv_in", cond_ch[0],
+              conditioning_channels, 3)
+        for i in range(3):
+            _conv(m, f"controlnet_cond_embedding.blocks.{2 * i}",
+                  cond_ch[i], cond_ch[i], 3)
+            _conv(m, f"controlnet_cond_embedding.blocks.{2 * i + 1}",
+                  cond_ch[i + 1], cond_ch[i], 3)
+        _conv(m, "controlnet_cond_embedding.conv_out", CH[0], cond_ch[-1], 3)
+    for i in range(4):
+        for j in range(2):
+            cin = (CH[i - 1] if i > 0 else CH[0]) if j == 0 else CH[i]
+            _resnet(m, f"down_blocks.{i}.resnets.{j}", cin, CH[i])
+            if i < 3:
+                _spatial_transformer(m, f"down_blocks.{i}.attentions.{j}", CH[i])
+            p = f"down_blocks.{i}.motion_modules.{j}.temporal_transformer"
+            _norm(m, f"{p}.norm", CH[i])
+            _linear(m, f"{p}.proj_in", CH[i], CH[i])
+            _temporal_block(m, f"{p}.transformer_blocks.0", CH[i], n_attn=1)
+            _linear(m, f"{p}.proj_out", CH[i], CH[i])
+        if i < 3:
+            _conv(m, f"down_blocks.{i}.downsamplers.0.conv", CH[i], CH[i], 3)
+    _resnet(m, "mid_block.resnets.0", CH[-1], CH[-1])
+    _spatial_transformer(m, "mid_block.attentions.0", CH[-1])
+    _resnet(m, "mid_block.resnets.1", CH[-1], CH[-1])
+    res_ch: List[int] = [CH[0]]
+    for i in range(4):
+        res_ch += [CH[i]] * 2
+        if i < 3:
+            res_ch.append(CH[i])
+    for idx, c in enumerate(res_ch):
+        _conv(m, f"controlnet_down_blocks.{idx}", c, c, 1)
+    _conv(m, "controlnet_mid_block", CH[-1], CH[-1], 1)
+    return m
+
+
 def cameractrl_pose_encoder_manifest() -> Manifest:
     """CameraCtrl ``pose_encoder_state_dict`` keys (CameraPoseEncoder with
     the released config: downscale 8, channels CH, nums_rb 2, cin 384,

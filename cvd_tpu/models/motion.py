@@ -66,6 +66,31 @@ def causal_temporal_mask(kind: str, length: int) -> jnp.ndarray:
     return jnp.asarray(out)
 
 
+class _SyncLoRA(nn.Module):
+    """diffusers ``LoRALinearLayer`` (down normal(std=1/rank), up zero-init,
+    no biases) as used by the sync-LoRA branch of the pose-conditioned
+    temporal attention (attention_processor.py:262-270). Module name
+    ``to_*_lora_sync`` with ``down``/``up`` children mirrors the reference
+    state-dict keys (``...processor.to_q_lora_sync.down.weight``) so the
+    mechanical key mapping covers it, and the substring "sync" makes the
+    trainable-mask group (train_epi_control.py:254) match real params."""
+
+    rank: int
+    out_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.Dense(
+            self.rank, use_bias=False, dtype=self.dtype,
+            kernel_init=nn.initializers.normal(1.0 / self.rank), name="down",
+        )(x)
+        return nn.Dense(
+            self.out_features, use_bias=False, dtype=self.dtype,
+            kernel_init=nn.initializers.zeros, name="up",
+        )(h)
+
+
 class TemporalSelfAttention(nn.Module):
     """One temporal attention: sinusoidal PE + optional pose conditioning.
 
@@ -75,6 +100,12 @@ class TemporalSelfAttention(nn.Module):
     relayouts; the reference's ``(b h w) f c`` rearrange
     (motion_module.py:378) costs two HBM round trips of the full feature
     map per module.
+
+    sync-LoRA (attention_processor.py:262-270, 341-344): when
+    ``sync_lora_rank > 0 and sync_lora_scale != 0`` on a pose-conditioned
+    attention, rank-r LoRA deltas are added to q/k/v from the (post-merge)
+    qkv source and to the attention output from the post-projection output:
+    ``q += s * up(down(x'))`` and ``o = to_out(h); o += s * up(down(o))``.
     """
 
     dim: int
@@ -83,6 +114,8 @@ class TemporalSelfAttention(nn.Module):
     pose_conditioned: bool = False
     pose_scale: float = 1.0
     causal_mask_type: str = ""
+    sync_lora_rank: int = 0
+    sync_lora_scale: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -135,6 +168,20 @@ class TemporalSelfAttention(nn.Module):
              ProjKernel(C, C, name="to_v")()),
             self.dtype,
         )
+        # sync-LoRA on q/k/v: reference adds the deltas to the PROJECTED
+        # q/k/v from the same (post-merge) qkv source; only attached to the
+        # pose-conditioned attention (unet.py:1098-1101 attaches sync kwargs
+        # to PoseAdaptorAttnProcessor alone)
+        use_sync = (self.pose_conditioned and self.sync_lora_rank > 0
+                    and self.sync_lora_scale != 0.0)
+        if use_sync:
+            s = self.sync_lora_scale
+            q = q + s * _SyncLoRA(self.sync_lora_rank, C, dtype=self.dtype,
+                                  name="to_q_lora_sync")(x)
+            k = k + s * _SyncLoRA(self.sync_lora_rank, C, dtype=self.dtype,
+                                  name="to_k_lora_sync")(x)
+            v = v + s * _SyncLoRA(self.sync_lora_rank, C, dtype=self.dtype,
+                                  name="to_v_lora_sync")(x)
 
         from cvd_tpu.models import layers as _layers
         from cvd_tpu.ops.temporal_attn import (
@@ -182,7 +229,15 @@ class TemporalSelfAttention(nn.Module):
             probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
             out = jnp.einsum("bnhfg,bnghd->bnfhd", probs, v, precision=precision)
             out = out.reshape(B, N, F, C)
-        return nn.Dense(C, dtype=self.dtype, name="to_out_0")(out)
+        o = nn.Dense(C, dtype=self.dtype, name="to_out_0")(out)
+        if use_sync:
+            # reference quirk kept deliberately: the out-LoRA delta is
+            # computed from the POST-projection output, not the attention
+            # values (attention_processor.py:341-344)
+            o = o + self.sync_lora_scale * _SyncLoRA(
+                self.sync_lora_rank, C, dtype=self.dtype,
+                name="to_out_lora_sync")(o)
+        return o
 
 
 class TemporalTransformerBlock(nn.Module):
@@ -197,6 +252,8 @@ class TemporalTransformerBlock(nn.Module):
     pose_cond_indices: Tuple[int, ...] = (0,)
     pose_scale: float = 1.0
     causal_mask_type: str = ""
+    sync_lora_rank: int = 0
+    sync_lora_scale: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -214,6 +271,8 @@ class TemporalTransformerBlock(nn.Module):
                     pose_conditioned=i in self.pose_cond_indices,
                     pose_scale=self.pose_scale,
                     causal_mask_type=self.causal_mask_type,
+                    sync_lora_rank=self.sync_lora_rank,
+                    sync_lora_scale=self.sync_lora_scale,
                     dtype=self.dtype,
                     name=f"attention_blocks_{i}",
                 )(h, pose_feature, pab_reuse=pab_reuse)
@@ -245,6 +304,8 @@ class TemporalTransformer(nn.Module):
     norm_groups: int = 32
     zero_initialize: bool = False
     causal_mask_type: str = ""
+    sync_lora_rank: int = 0
+    sync_lora_scale: float = 0.0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -274,6 +335,8 @@ class TemporalTransformer(nn.Module):
                 self.pose_cond_indices,
                 self.pose_scale,
                 causal_mask_type=self.causal_mask_type,
+                sync_lora_rank=self.sync_lora_rank,
+                sync_lora_scale=self.sync_lora_scale,
                 dtype=self.dtype,
                 name=f"transformer_blocks_{i}",
             )(h, pose_feature, pab_reuse=pab_reuse)

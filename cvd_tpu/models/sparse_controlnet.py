@@ -70,6 +70,13 @@ class SparseControlNetModel(nn.Module):
     concat_conditioning_mask: bool = True
     set_noisy_sample_input_to_zero: bool = False
     use_motion_modules: bool = True
+    # released AnimateDiff SparseCtrl motion modules run ONE Temporal_Self
+    # attention per block (sparse_controlnet.py:127-134), unlike the main
+    # UNet's two
+    motion_attention_blocks: int = 1
+    # v3 RGB ckpt layout: a single zero-init conv replaces the conditioning
+    # pyramid (sparse_controlnet.py:181-184)
+    use_simplified_condition_embedding: bool = False
 
     @nn.compact
     def __call__(
@@ -103,9 +110,18 @@ class SparseControlNetModel(nn.Module):
         x = _unfold(
             Conv2d(ch[0], 3, 1, 1, dtype=cfg.dtype, name="conv_in")(_fold(sample)), B
         )
-        x = x + SparseConditioningEmbedding(
-            ch[0], dtype=cfg.dtype, name="controlnet_cond_embedding"
-        )(conditioning)
+        if self.use_simplified_condition_embedding:
+            cond_emb = _unfold(nn.Conv(
+                ch[0], (3, 3), padding=[(1, 1), (1, 1)],
+                kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros, dtype=cfg.dtype,
+                name="controlnet_cond_embedding",
+            )(_fold(conditioning)), B)
+        else:
+            cond_emb = SparseConditioningEmbedding(
+                ch[0], dtype=cfg.dtype, name="controlnet_cond_embedding"
+            )(conditioning)
+        x = x + cond_emb
 
         residuals: List[jnp.ndarray] = [x]
         for i in range(len(ch)):
@@ -125,7 +141,7 @@ class SparseControlNetModel(nn.Module):
                 x = _unfold(h, B)
                 if self.use_motion_modules:
                     x = TemporalTransformer(
-                        ch[i], heads, 1, cfg.motion_num_attention_blocks,
+                        ch[i], heads, 1, self.motion_attention_blocks,
                         cfg.motion_pe_max_len, (), 1.0, cfg.motion_norm_groups,
                         zero_initialize=False, dtype=cfg.dtype,
                         name=f"down_blocks_{i}_motion_modules_{j}",

@@ -76,6 +76,16 @@ class UNetConfig:
     # >0: fixed LoRA rank; <0: per-layer rank = channels // (-value)
     # (reference rank rule, unet.py:1028); 0: no LoRA params
     spatial_lora_rank: int = 0
+    # sync-LoRA on the pose-conditioned temporal attention q/k/v/out
+    # (attention_processor.py:262-270, 341-344; the CVD training recipe's
+    # "sync" trainable group). 0 rank or 0 scale = off (reference gate).
+    # Rank >16 is absolute; 1..16 resolves per layer to
+    # channels // |spatial_lora_rank or 4| — reproducing the reference's
+    # quirk of dividing by the IMAGE-LoRA rank (unet.py:1092 uses
+    # `hidden_size // lora_rank`, not the sync rank; 4 = the training
+    # script's lora_rank default, train_epi_control.py:110).
+    sync_lora_rank: int = 0
+    sync_lora_scale: float = 1.0
     # first-frame feature fusion (unet.py:107,141-153; off in released configs)
     fuse_first_frame: bool = False
     # auxiliary q/k output channels for the epipolar training loss
@@ -125,6 +135,18 @@ def _lora_rank(cfg: UNetConfig, channels: int) -> int:
     if cfg.spatial_lora_rank < 0:
         return channels // (-cfg.spatial_lora_rank)
     return 0
+
+
+def _sync_lora_rank(cfg: UNetConfig, channels: int) -> int:
+    """Effective per-layer sync-LoRA rank (reference unet.py:1092):
+    absolute when >16, else channels // image_lora_rank — the reference
+    divides by the image-LoRA rank argument, not the sync rank (quirk kept
+    for checkpoint-shape parity; 4 = train_epi_control.py:110 default)."""
+    if cfg.sync_lora_rank == 0 or cfg.sync_lora_scale == 0.0:
+        return 0
+    if cfg.sync_lora_rank > 16:
+        return cfg.sync_lora_rank
+    return channels // (abs(cfg.spatial_lora_rank) or 4)
 
 
 def _stack_layer_params(params, roles, js):
@@ -194,6 +216,8 @@ def _layer_modules(cfg: UNetConfig, channels: int, temb_dim: int, j=None, *,
         cfg.motion_num_transformer_blocks, cfg.motion_num_attention_blocks,
         cfg.motion_pe_max_len, cfg.pose_cond_attn_indices, cfg.pose_scale,
         cfg.motion_norm_groups, cfg.motion_zero_initialize,
+        sync_lora_rank=_sync_lora_rank(cfg, channels),
+        sync_lora_scale=cfg.sync_lora_scale,
         dtype=cfg.dtype, **kw("motion_modules"),
     ) if with_motion else None
     epi = lift(EpiTransformer)(

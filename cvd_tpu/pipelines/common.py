@@ -35,6 +35,10 @@ class PipelineModules:
     vae_params: Dict
     clip_params: Dict
     pose_encoder_params: Dict
+    # optional SparseCtrl residual producer: (SparseControlNetModel, params),
+    # set by cli/build.py --controlnet_ckpt; consumed via the UNet's
+    # down/mid additional_residual inputs
+    controlnet: Optional[tuple] = None
 
     def params_bundle(self) -> Dict:
         """All param trees as ONE pytree — passed into jitted programs as an

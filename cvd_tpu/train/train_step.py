@@ -54,6 +54,15 @@ def train_step(
 
     if "latents" in batch:
         latents = batch["latents"]
+    elif "latent_mean" in batch:
+        # pre-encoded cache path (data/latents_cache.py): the cache stores
+        # posterior MOMENTS; a fresh sample is drawn per iteration, so this
+        # is the reference's per-step sampled encode minus the encoder conv
+        # stack (train_epi_control.py:514-523)
+        mean = batch["latent_mean"]
+        std = jnp.exp(0.5 * batch["latent_logvar"])
+        eps = jax.random.normal(vae_key, mean.shape, mean.dtype)
+        latents = (mean + std * eps) * VAE_SCALE
     else:
         px = batch["pixel_values"]
         B, F = px.shape[:2]

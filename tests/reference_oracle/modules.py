@@ -211,7 +211,8 @@ class PoseAdaptorAttnProcessor(nn.Module):
 
     def __init__(self, hidden_size, pose_feature_dim=None,
                  cross_attention_dim=None, query_condition=False,
-                 key_value_condition=False, scale=1.0):
+                 key_value_condition=False, scale=1.0,
+                 sync_lora_rank=0, network_alpha=None, sync_lora_scale=0):
         super().__init__()
         assert hidden_size == pose_feature_dim
         self.scale = scale
@@ -229,6 +230,26 @@ class PoseAdaptorAttnProcessor(nn.Module):
             self.kv_merge = nn.Linear(hidden_size, hidden_size)
             nn.init.zeros_(self.kv_merge.weight)
             nn.init.zeros_(self.kv_merge.bias)
+        # sync lora (attention_processor.py:261-270): active iff rank and
+        # scale are both nonzero; LoRA deltas on q/k/v from the merged
+        # hidden states and on the post-projection output (:341-344)
+        from .diffusers_min import LoRALinearLayer
+
+        self.sync_lora = False
+        if not (sync_lora_rank == 0 or sync_lora_scale == 0):
+            self.sync_lora = True
+            self.sync_lora_rank = sync_lora_rank
+            self.sync_lora_scale = sync_lora_scale
+            self.to_q_lora_sync = LoRALinearLayer(
+                hidden_size, hidden_size, sync_lora_rank, network_alpha)
+            self.to_k_lora_sync = LoRALinearLayer(
+                cross_attention_dim or hidden_size, hidden_size,
+                sync_lora_rank, network_alpha)
+            self.to_v_lora_sync = LoRALinearLayer(
+                cross_attention_dim or hidden_size, hidden_size,
+                sync_lora_rank, network_alpha)
+            self.to_out_lora_sync = LoRALinearLayer(
+                hidden_size, hidden_size, sync_lora_rank, network_alpha)
 
     def forward(self, attn, hidden_states, pose_feature,
                 encoder_hidden_states=None, attention_mask=None, temb=None,
@@ -267,6 +288,10 @@ class PoseAdaptorAttnProcessor(nn.Module):
         query = attn.to_q(query_hidden_state)
         key = attn.to_k(key_value_hidden_state)
         value = attn.to_v(key_value_hidden_state)
+        if self.sync_lora:  # attention_processor.py:345-348
+            query = query + self.sync_lora_scale * self.to_q_lora_sync(query_hidden_state)
+            key = key + self.sync_lora_scale * self.to_k_lora_sync(key_value_hidden_state)
+            value = value + self.sync_lora_scale * self.to_v_lora_sync(key_value_hidden_state)
         query = attn.head_to_batch_dim(query)
         key = attn.head_to_batch_dim(key)
         value = attn.head_to_batch_dim(value)
@@ -274,6 +299,9 @@ class PoseAdaptorAttnProcessor(nn.Module):
         hidden_states = torch.bmm(attention_probs, value)
         hidden_states = attn.batch_to_head_dim(hidden_states)
         hidden_states = attn.to_out[0](hidden_states)
+        if self.sync_lora:  # out-LoRA from the POST-projection output (:341-344)
+            hidden_states = hidden_states + \
+                self.sync_lora_scale * self.to_out_lora_sync(hidden_states)
         hidden_states = attn.to_out[1](hidden_states)
         if attn.residual_connection:
             hidden_states = hidden_states + hidden_states

@@ -401,3 +401,55 @@ def test_process_loader_early_exit_cleans_up():
         it.close()  # runs the generator's finally: stop + pool.terminate
     # no forked worker survives the closed iterations
     assert multiprocessing.active_children() == []
+
+
+def test_latents_cache_roundtrip(fake_root, tmp_path):
+    """build_latents_cache encodes each item once; CachedLatentsDataset
+    round-trips the posterior moments and re-derives an identical Plücker
+    embedding from the cached poses (no 50 MB plucker on disk)."""
+    import jax.numpy as jnp
+
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from tiny import tiny_modules
+
+    from cvd_tpu.data.latents_cache import (
+        CachedLatentsDataset, build_latents_cache,
+    )
+
+    ds = RealEstate10KPoseFolded(fake_root, sample_n_frames=4, sample_size=32,
+                                 seed=0)
+    modules = tiny_modules(8, 2)  # only the VAE is used (conv: any size)
+    cdir = str(tmp_path / "latcache")
+    # pin the random frame sampling: cache build and comparison must see
+    # the same item -> re-seed the dataset rng before each pass
+    ds.rng.seed(123)
+    build_latents_cache(ds, modules, cdir, num_items=2)
+    cached = CachedLatentsDataset(cdir)
+    assert len(cached) == 2
+
+    ds.rng.seed(123)
+    raw = ds[0]
+    item = cached[0]
+    assert item["latent_mean"].shape == (8, 4, 4, 4)
+    assert item["latent_logvar"].shape == (8, 4, 4, 4)
+    # moments match a direct encode at f16 storage tolerance
+    mean, logvar = modules.vae.apply(
+        modules.vae_params, jnp.asarray(raw["pixel_values"], jnp.float32),
+        method=modules.vae.encode,
+    )
+    np.testing.assert_allclose(item["latent_mean"], np.asarray(mean),
+                               rtol=0, atol=2e-3)
+    np.testing.assert_allclose(item["latent_logvar"], np.asarray(logvar),
+                               rtol=0, atol=2e-3)
+    # plucker re-derivation is exact vs the source dataset's
+    np.testing.assert_allclose(item["plucker_embedding"],
+                               raw["plucker_embedding"], atol=1e-5)
+    np.testing.assert_array_equal(item["F_mats"], raw["F_mats"])
+    assert item["text"] == raw["text"]
+
+    # the loader + train fold path consumes the cached keys
+    loader = DataLoader(cached, batch_size=1, num_workers=0, seed=0)
+    batch = next(iter(loader))
+    assert batch["latent_mean"].shape == (1, 8, 4, 4, 4)

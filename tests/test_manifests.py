@@ -193,3 +193,49 @@ def test_manifests_match_torch_oracles():
     got_epi = {k: tuple(v.shape) for k, v in epi.state_dict().items()
                if "pos_encoder.coords" not in k}
     assert got_epi == want_epi
+
+
+def test_cvd_sync_lora_manifest_maps_completely():
+    """A sync-enabled fine-tune's extra ckpt keys route onto a sync-enabled
+    full-size tree (rank rule: channels // image_lora_rank, unet.py:1092)."""
+    import dataclasses
+
+    from cvd_tpu.models.unet import UNetConfig
+    from cvd_tpu.pipelines.common import abstract_param_shapes
+
+    cfg = UNetConfig(sync_lora_rank=4, sync_lora_scale=1.0,
+                     spatial_lora_rank=-4)
+    shapes = abstract_param_shapes(unet_config=cfg)
+    _dry_merge(shapes["unet"], M.cvd_sync_lora_manifest(
+        sync_lora_rank=4, image_lora_rank=4))
+
+
+@pytest.mark.parametrize("simplified", [False, True])
+def test_sparsectrl_manifest_maps_completely(simplified):
+    """Full-size SparseCtrl ckpt layout routes onto SparseControlNetModel
+    (pyramid and simplified/v3-RGB embeddings)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cvd_tpu.models.sparse_controlnet import SparseControlNetModel
+    from cvd_tpu.models.unet import UNetConfig
+
+    cond_ch = 4 if simplified else 3
+    model = SparseControlNetModel(
+        UNetConfig(), conditioning_channels=cond_ch,
+        use_simplified_condition_embedding=simplified,
+    )
+    B, F, h = 1, 2, 8
+    cond_res = h if simplified else 8 * h  # simplified conditions on latents
+    shapes = jax.eval_shape(
+        lambda k: model.init(
+            k, jnp.zeros((B, F, h, h, 4)), jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B, 7, 768)), jnp.zeros((B, F, cond_res, cond_res, cond_ch)),
+            jnp.zeros((B, F, cond_res, cond_res, 1)),
+        ),
+        jax.random.key(0),
+    )
+    from cvd_tpu.io.checkpoints import sparsectrl_rename
+
+    _dry_merge(shapes, M.animatediff_sparsectrl_manifest(simplified=simplified),
+               rename=sparsectrl_rename)

@@ -92,6 +92,70 @@ def test_motion_module_golden():
     allclose(got, want.numpy().transpose(0, 2, 3, 4, 1), "motion module out")
 
 
+def test_motion_module_sync_lora_golden():
+    """Sync-LoRA branch (attention_processor.py:262-270, 341-344): q/k/v
+    LoRA deltas from the merged qkv source, out-LoRA from the post-
+    projection output, all scaled by sync_lora_scale — vs
+    models.motion.TemporalTransformer(sync_lora_rank>0)."""
+    from cvd_tpu.models.motion import TemporalTransformer
+
+    B, C, F, H, W, HEADS, RANK, SCALE = 2, 32, 8, 4, 4, 4, 8, 0.7
+    oracle = ref.VanillaTemporalModule(
+        in_channels=C, num_attention_heads=HEADS, num_transformer_block=1,
+        attention_block_types=("Temporal_Self", "Temporal_Self"),
+        temporal_position_encoding=True,
+        temporal_position_encoding_max_len=32, zero_initialize=False,
+    )
+    blocks = oracle.temporal_transformer.transformer_blocks[0].attention_blocks
+    blocks[0].processor = ref.PoseAdaptorAttnProcessor(
+        hidden_size=C, pose_feature_dim=C, query_condition=True,
+        key_value_condition=True, scale=1.0,
+        sync_lora_rank=RANK, sync_lora_scale=SCALE,
+    )
+    blocks[1].processor = ref.AttnProcessor(attn_type="temporal")
+    randomize_(oracle, seed=7)  # randomizes the (zero-init) LoRA ups too
+
+    # the reference state dict names the sync params through the processor
+    state_keys = [k for k in oracle.state_dict() if "lora_sync" in k]
+    assert any("processor.to_q_lora_sync.down.weight" in k for k in state_keys)
+    assert len(state_keys) == 8  # 4 projections x down/up, q-attn only
+
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((B, C, F, H, W)).astype(np.float32)
+    pose = rng.standard_normal((B, C, F, H, W)).astype(np.float32)
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(x),
+                      cross_attention_kwargs={"pose_feature": torch.from_numpy(pose)})
+
+    flax_mod = TemporalTransformer(
+        in_channels=C, heads=HEADS, num_transformer_blocks=1,
+        num_attention_blocks=2, pe_max_len=32, pose_cond_indices=(0,),
+        pose_scale=1.0, norm_groups=32, zero_initialize=False,
+        sync_lora_rank=RANK, sync_lora_scale=SCALE,
+    )
+    x_j = jnp.asarray(x.transpose(0, 2, 3, 4, 1))
+    pose_j = jnp.asarray(pose.transpose(0, 2, 3, 4, 1))
+    variables = flax_mod.init(jax.random.key(0), x_j, pose_j)
+    # the Flax tree must expose the sync params under "sync"-containing
+    # names so the trainable-mask group matches real parameters
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(variables["params"])
+    sync_paths = [p for p in flat if any("lora_sync" in el for el in p)]
+    assert len(sync_paths) == 8
+    variables = import_params(variables, oracle)
+    got = flax_mod.apply(variables, x_j, pose_j)
+    allclose(got, want.numpy().transpose(0, 2, 3, 4, 1), "motion sync-LoRA")
+
+    # the export path round-trips the sync params into reference key names
+    from cvd_tpu.io.key_mapping import export_torch_state
+
+    exported = export_torch_state(variables)
+    torch_sync = {k for k in exported if "lora_sync" in k}
+    assert any(k.endswith("processor.to_q_lora_sync.down.weight")
+               for k in torch_sync), sorted(torch_sync)[:4]
+
+
 def test_motion_module_no_pose_golden():
     """Pose feature None -> qkv_merge path skipped entirely
     (attention_processor.py:333-335)."""

@@ -207,3 +207,68 @@ def test_train_state_frozen_dtype_mixed_precision(modules):
     changed = {k for k in after if not np.array_equal(
         np.asarray(before[k]), np.asarray(after[k]))}
     assert changed and all("epi_modules" in "/".join(k) for k in changed)
+
+
+def test_trainable_mask_matches_sync_lora_params():
+    """With sync-LoRA enabled, the 'sync' trainable group matches REAL
+    params (r04 verdict: the substring previously matched nothing). Also
+    pins the effective-rank rule: rank<=16 -> channels // |image rank|
+    (reference unet.py:1092 quirk)."""
+    import dataclasses
+
+    from cvd_tpu.models.epi import EpiConditioning
+    from cvd_tpu.models.unet import UNet3DConditionModel, _sync_lora_rank
+    from tiny import TINY_UNET
+
+    cfg = dataclasses.replace(TINY_UNET, sync_lora_rank=4,
+                              sync_lora_scale=1.0, spatial_lora_rank=-4)
+    assert _sync_lora_rank(cfg, 64) == 16
+    assert _sync_lora_rank(dataclasses.replace(cfg, sync_lora_rank=32), 64) == 32
+    assert _sync_lora_rank(dataclasses.replace(cfg, sync_lora_scale=0.0), 64) == 0
+
+    unet = UNet3DConditionModel(cfg)
+    B, F, H, W = 2, 2, 16, 16
+    cond = EpiConditioning(
+        F_mats=jnp.zeros((B * F, 3, 3)), video_length=F, rand_slope_ff=False
+    )
+    params = unet.init(
+        jax.random.key(0), jnp.zeros((B, F, H, W, 4)),
+        jnp.zeros((B,), jnp.int32), jnp.zeros((B, 7, cfg.cross_attention_dim)),
+        None, cond,
+    )
+    mask = trainable_mask(params)
+    flat = traverse_util.flatten_dict(mask["params"])
+    sync_on = [k for k, v in flat.items()
+               if v and any("lora_sync" in el for el in k)]
+    assert sync_on, "sync trainable group is empty"
+    # 4 projections x {down,up} per pose-conditioned temporal attention
+    assert len(sync_on) % 8 == 0
+    # down kernel shape honors the per-layer rank at block 0 (32 ch / 4 = 8)
+    pflat = traverse_util.flatten_dict(params["params"])
+    down0 = next(v for k, v in pflat.items()
+                 if "lora_sync" in "/".join(k) and k[-2] == "down"
+                 and "down_blocks_0" in "/".join(k))
+    assert down0.shape[-1] == 32 // 4
+
+
+def test_train_step_latent_moments_batch(modules):
+    """The latent_mean/latent_logvar (cache) batch path: one step runs,
+    loss finite, and a tight posterior (logvar -> -inf) reproduces the
+    plain pre-encoded-latents path exactly (same rng consumption)."""
+    state = create_train_state(modules.unet_params, learning_rate=1e-3)
+    b = make_batch()
+    mean = b.pop("latents")
+    batch = dict(b, latent_mean=mean / 0.18215,
+                 latent_logvar=jnp.full(mean.shape, -1e9, jnp.float32))
+    _, metrics = jax.jit(
+        lambda s, bb, k: train_step(s, bb, modules, k), donate_argnums=()
+    )(state, batch, jax.random.key(0))
+    loss_moments = float(metrics["loss"])
+    assert np.isfinite(loss_moments)
+    state2 = create_train_state(modules.unet_params, learning_rate=1e-3)
+    _, metrics2 = jax.jit(
+        lambda s, bb, k: train_step(s, bb, modules, k), donate_argnums=()
+    )(state2, dict(b, latents=mean), jax.random.key(0))
+    # identical rng stream (vae_key unused in the latents path, used only
+    # for the zero-width sample here) -> identical loss
+    np.testing.assert_allclose(loss_moments, float(metrics2["loss"]), rtol=1e-5)
