@@ -206,7 +206,8 @@ def _build_modules(args, dtype):
         clip_cfg = CLIPTextConfig(hidden_size=24, num_layers=2, num_heads=4,
                                   intermediate_size=48)
     else:
-        unet_cfg = UNetConfig(dtype=dtype, scan_identical_layers=scan_layers)
+        unet_cfg = UNetConfig(dtype=dtype, scan_identical_layers=scan_layers,
+                              remat_policy=getattr(args, "remat_policy", ""))
         vae_cfg = VAEConfig(dtype=dtype)
         clip_cfg = CLIPTextConfig()
 
@@ -349,6 +350,7 @@ def _bench_train(args, modules, init_s):
         "config": f"B{B}rows-{F}f-{IMG}px-remat-"
                   f"{'f32' if args.f32 else 'bf16'}"
                   f"{'-encstep' if args.encode_in_step else '-latcache'}"
+                  f"{'-' + args.remat_policy if args.remat_policy else ''}"
                   f"{'-tiny' if args.tiny else ''}",
     }
     if not args.tiny:
@@ -572,6 +574,11 @@ def main():
                         "2V*acc instead of an inner scan (A/B experiment)")
     p.add_argument("--train", action="store_true",
                    help="bench one full training iteration instead")
+    p.add_argument("--remat-policy", default="", dest="remat_policy",
+                   help="train row: UNetConfig.remat_policy — '' replays "
+                        "whole blocks in the backward (min memory); 'dots' "
+                        "saves matmul outputs so only convs/norms replay "
+                        "(uses the HBM the latents cache freed)")
     p.add_argument("--encode-in-step", action="store_true",
                    help="train row: VAE-encode pixels inside the step "
                         "(reference behavior) instead of the default "

@@ -62,6 +62,11 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
                         "attention (reference sync_lora_kwargs; 0 = off, "
                         ">16 absolute, 1..16 resolves per layer)")
     p.add_argument("--sync_lora_scale", type=float, default=1.0)
+    p.add_argument("--remat_policy", default="",
+                   help="training remat checkpoint policy: '' = replay "
+                        "whole blocks (min memory), 'dots' = save matmul "
+                        "outputs, replay only convs/norms (faster step "
+                        "when HBM allows, e.g. with --cache_latents)")
     p.add_argument("--model_config", default=None,
                    help="reference-format model config yaml")
     p.add_argument("--scan_layers", action=argparse.BooleanOptionalAction,
@@ -137,6 +142,7 @@ def build_modules(args, video_length: int, image_size: int,
                 scan_identical_layers=scan,
                 sync_lora_rank=getattr(args, "sync_lora_rank", 0),
                 sync_lora_scale=getattr(args, "sync_lora_scale", 1.0),
+                remat_policy=getattr(args, "remat_policy", ""),
             ),
             vae_config=dataclasses.replace(
                 VAEConfig() if full else SMOKE_VAE, dtype=dtype),
@@ -172,6 +178,7 @@ def build_modules(args, video_length: int, image_size: int,
             scan_identical_layers=scan,
             sync_lora_rank=getattr(args, "sync_lora_rank", 0),
             sync_lora_scale=getattr(args, "sync_lora_scale", 1.0),
+            remat_policy=getattr(args, "remat_policy", ""),
         )
     else:
         unet_cfg = UNetConfig(
@@ -181,6 +188,7 @@ def build_modules(args, video_length: int, image_size: int,
             scan_identical_layers=scan,
             sync_lora_rank=getattr(args, "sync_lora_rank", 0),
             sync_lora_scale=getattr(args, "sync_lora_scale", 1.0),
+            remat_policy=getattr(args, "remat_policy", ""),
             dtype=dtype,
         )
     modules = PipelineModules.create(

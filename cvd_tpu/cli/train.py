@@ -125,6 +125,9 @@ def main(args):
     margs.sync_lora_rank = cfg.get("sync_lora_rank", 0)
     margs.sync_lora_scale = cfg.get("sync_lora_scale", 1.0)
     margs.image_lora_rank = cfg.get("lora_rank", 4)
+    # remat checkpoint policy: 'dots' trades the HBM freed by
+    # cache_latents for fewer recomputed matmuls in the backward
+    margs.remat_policy = cfg.get("remat_policy", "")
 
     sample_size = cfg.get("sample_size", 256)
     n_frames = cfg.get("sample_n_frames", 16)

@@ -19,6 +19,7 @@ Block/parameter naming mirrors the reference state-dict structure
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
@@ -112,6 +113,14 @@ class UNetConfig:
     # "block" is the default and "layer" stays as a measured alternative.
     # Same recompute FLOPs either way (each op replayed once).
     remat_unit: str = "block"
+    # what the checkpoint units SAVE: "" recomputes everything in the
+    # backward (minimum memory, +1 forward of recompute FLOPs); "dots"
+    # saves every matmul output (jax.checkpoint_policies.dots_saveable) so
+    # the backward replays only convs/norms/elementwise — trades the HBM
+    # freed by the pre-encoded-latents training path for fewer recomputed
+    # MXU FLOPs. Validated to fit + measured in bench.py --train
+    # --remat-policy dots.
+    remat_policy: str = ""
     dtype: Any = jnp.float32
 
     def scaled(self, width_factor: float) -> "UNetConfig":
@@ -127,6 +136,24 @@ def _fold(x: jnp.ndarray) -> jnp.ndarray:
 
 def _unfold(x: jnp.ndarray, B: int) -> jnp.ndarray:
     return x.reshape((B, -1) + x.shape[1:])
+
+
+def _checkpoint_policy(cfg: UNetConfig):
+    """Resolve ``cfg.remat_policy`` to a jax.checkpoint policy (None =
+    save nothing, i.e. classic full rematerialization)."""
+    if not cfg.remat_policy:
+        return None
+    policies = {
+        "dots": jax.checkpoint_policies.dots_saveable,
+        "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+    }
+    if cfg.remat_policy not in policies:
+        # a typo would silently change the memory/recompute trade-off
+        raise ValueError(
+            f"remat_policy={cfg.remat_policy!r}: expected one of "
+            f"{('',) + tuple(policies)}"
+        )
+    return policies[cfg.remat_policy]
 
 
 def _lora_rank(cfg: UNetConfig, channels: int) -> int:
@@ -199,7 +226,8 @@ def _layer_modules(cfg: UNetConfig, channels: int, temb_dim: int, j=None, *,
     # a training backward recomputes ONE sublayer at a time instead of a
     # whole 9-sublayer block (param names/tree unchanged — nn.remat is a
     # lifted transform). Also applies inside the lax.scan dedup body.
-    lift = (nn.remat if (cfg.remat and cfg.remat_unit == "layer")
+    lift = (functools.partial(nn.remat, policy=_checkpoint_policy(cfg))
+            if (cfg.remat and cfg.remat_unit == "layer")
             else (lambda cls: cls))
 
     resnet = lift(ResnetBlock2D)(channels, temb_dim, cfg.norm_num_groups,
@@ -568,9 +596,12 @@ class UNet3DConditionModel(nn.Module):
         # rematerialized block variants for memory-bound training; with
         # remat_unit="layer" the checkpoint units live INSIDE the blocks
         # (_layer_modules), so the block classes stay unwrapped
+        pol = _checkpoint_policy(cfg)
         DownCls, PlainDownCls, MidCls, UpCls = (
-            (nn.remat(CrossAttnDownBlock), nn.remat(DownBlock),
-             nn.remat(MidBlock), nn.remat(CrossAttnUpBlock))
+            (nn.remat(CrossAttnDownBlock, policy=pol),
+             nn.remat(DownBlock, policy=pol),
+             nn.remat(MidBlock, policy=pol),
+             nn.remat(CrossAttnUpBlock, policy=pol))
             if cfg.remat and cfg.remat_unit == "block"
             else (CrossAttnDownBlock, DownBlock, MidBlock, CrossAttnUpBlock)
         )

@@ -133,3 +133,39 @@ def test_unet_remat_unit_validated():
     unet = UNet3DConditionModel(cfg)
     with pytest.raises(ValueError, match="remat_unit"):
         unet.init(jax.random.key(0), sample, t, text, pose, cond)
+
+
+def test_unet_remat_policy_equivalence_and_validation():
+    """remat_policy='dots' (save matmul outputs, replay the rest) must
+    match full remat exactly in loss AND grads — a checkpoint policy
+    changes what the backward recomputes, never the math. Unknown policy
+    names must raise, not silently fall back to full remat."""
+    sample, t, text, pose, cond = _inputs()
+    cfg_full = UNetConfig(**CFG, remat=True)
+    unet_full = UNet3DConditionModel(cfg_full)
+    params = unet_full.init(jax.random.key(0), sample, t, text, pose, cond)
+
+    def loss(p, unet):
+        out, _ = unet.apply(p, sample, t, text, pose, cond)
+        return jnp.mean(out.astype(jnp.float32) ** 2)
+
+    ref = loss(params, unet_full)
+    g_ref = jax.grad(lambda p: loss(p, unet_full))(params)
+    for unit in ("block", "layer"):
+        cfg = dataclasses.replace(cfg_full, remat_policy="dots",
+                                  remat_unit=unit)
+        unet = UNet3DConditionModel(cfg)
+        got = loss(params, unet)
+        np.testing.assert_allclose(float(got), float(ref), rtol=1e-6,
+                                   err_msg=f"dots/{unit}")
+        g = jax.grad(lambda p: loss(p, unet))(params)
+        for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(g),
+                                jax.tree_util.tree_leaves(g_ref)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+                err_msg=f"dots/{unit}: {jax.tree_util.keystr(path)}")
+
+    bad = UNet3DConditionModel(
+        dataclasses.replace(cfg_full, remat_policy="everything"))
+    with pytest.raises(ValueError, match="remat_policy"):
+        bad.apply(params, sample, t, text, pose, cond)
