@@ -576,9 +576,11 @@ def main():
                    help="bench one full training iteration instead")
     p.add_argument("--remat-policy", default="", dest="remat_policy",
                    help="train row: UNetConfig.remat_policy — '' replays "
-                        "whole blocks in the backward (min memory); 'dots' "
-                        "saves matmul outputs so only convs/norms replay "
-                        "(uses the HBM the latents cache freed)")
+                        "whole blocks in the backward (min memory); "
+                        "'dots' saves matmul+conv outputs (OOMs full-size "
+                        "on 16 GB v5e by ~0.6 GB); 'dots_small' saves "
+                        "them except tensors >96 MiB "
+                        "(CVD_TPU_REMAT_SAVE_MAX_BYTES)")
     p.add_argument("--encode-in-step", action="store_true",
                    help="train row: VAE-encode pixels inside the step "
                         "(reference behavior) instead of the default "

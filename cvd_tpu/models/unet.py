@@ -138,14 +138,41 @@ def _unfold(x: jnp.ndarray, B: int) -> jnp.ndarray:
     return x.reshape((B, -1) + x.shape[1:])
 
 
+def _dots_saveable_under(max_bytes: int):
+    """dots_saveable (matmul + conv outputs), except results larger than
+    ``max_bytes``. Full 'dots' on the 16f/256px train step saves ~168 MB
+    FFN-inner activations at res 32 and overflows a 16 GB v5e by ~0.6 GB
+    (measured 2026-08-21); excluding just the giant tensors keeps the
+    qkv/attention/out-proj/conv saves (the bulk of the recompute win)
+    while fitting the chip."""
+    dots = jax.checkpoint_policies.dots_saveable
+
+    def policy(prim, *avals, **params):
+        if not dots(prim, *avals, **params):
+            return False
+        try:
+            out, _ = prim.abstract_eval(*avals, **params)
+            size = out.size * out.dtype.itemsize
+        except Exception:
+            return True  # unsizeable: keep dots_saveable's verdict
+        return size <= max_bytes
+
+    return policy
+
+
 def _checkpoint_policy(cfg: UNetConfig):
     """Resolve ``cfg.remat_policy`` to a jax.checkpoint policy (None =
     save nothing, i.e. classic full rematerialization)."""
     if not cfg.remat_policy:
         return None
+    import os as _os
+
     policies = {
         "dots": jax.checkpoint_policies.dots_saveable,
         "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        "dots_small": _dots_saveable_under(
+            int(_os.environ.get("CVD_TPU_REMAT_SAVE_MAX_BYTES",
+                                96 * 1024 * 1024))),
     }
     if cfg.remat_policy not in policies:
         # a typo would silently change the memory/recompute trade-off

@@ -151,19 +151,20 @@ def test_unet_remat_policy_equivalence_and_validation():
 
     ref = loss(params, unet_full)
     g_ref = jax.grad(lambda p: loss(p, unet_full))(params)
-    for unit in ("block", "layer"):
-        cfg = dataclasses.replace(cfg_full, remat_policy="dots",
+    for policy, unit in (("dots", "block"), ("dots", "layer"),
+                         ("dots_small", "block")):
+        cfg = dataclasses.replace(cfg_full, remat_policy=policy,
                                   remat_unit=unit)
         unet = UNet3DConditionModel(cfg)
         got = loss(params, unet)
         np.testing.assert_allclose(float(got), float(ref), rtol=1e-6,
-                                   err_msg=f"dots/{unit}")
+                                   err_msg=f"{policy}/{unit}")
         g = jax.grad(lambda p: loss(p, unet))(params)
         for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(g),
                                 jax.tree_util.tree_leaves(g_ref)):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
-                err_msg=f"dots/{unit}: {jax.tree_util.keystr(path)}")
+                err_msg=f"{policy}/{unit}: {jax.tree_util.keystr(path)}")
 
     bad = UNet3DConditionModel(
         dataclasses.replace(cfg_full, remat_policy="everything"))
