@@ -576,11 +576,12 @@ def main():
                    help="bench one full training iteration instead")
     p.add_argument("--remat-policy", default="", dest="remat_policy",
                    help="train row: UNetConfig.remat_policy — '' replays "
-                        "whole blocks in the backward (min memory); "
-                        "'dots' saves matmul+conv outputs (OOMs full-size "
-                        "on 16 GB v5e by ~0.6 GB); 'dots_small' saves "
-                        "them except tensors >96 MiB "
-                        "(CVD_TPU_REMAT_SAVE_MAX_BYTES)")
+                        "whole blocks in the backward (min memory; the "
+                        "only policy that fits full-size on a 16 GB "
+                        "v5e, see BASELINE.md); 'dots' saves matmul+conv "
+                        "outputs; 'dots_small' excludes tensors >96 MiB "
+                        "(CVD_TPU_REMAT_SAVE_MAX_BYTES) — both for "
+                        "larger-HBM parts")
     p.add_argument("--encode-in-step", action="store_true",
                    help="train row: VAE-encode pixels inside the step "
                         "(reference behavior) instead of the default "

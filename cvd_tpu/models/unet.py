@@ -140,11 +140,14 @@ def _unfold(x: jnp.ndarray, B: int) -> jnp.ndarray:
 
 def _dots_saveable_under(max_bytes: int):
     """dots_saveable (matmul + conv outputs), except results larger than
-    ``max_bytes``. Full 'dots' on the 16f/256px train step saves ~168 MB
-    FFN-inner activations at res 32 and overflows a 16 GB v5e by ~0.6 GB
-    (measured 2026-08-21); excluding just the giant tensors keeps the
-    qkv/attention/out-proj/conv saves (the bulk of the recompute win)
-    while fitting the chip."""
+    ``max_bytes``. Measured on the full-size 16f/256px train step
+    (v5e 16 GB, 2026-08-21): 'dots' needs 16.37 G (OOM by 0.6 G) and
+    'dots_small' @96 MiB needs 18.21 G — excluding a mid-chain tensor
+    makes the backward replay the whole chain up to it while every other
+    saved residual stays resident, so the transient recompute peak
+    exceeds the bytes saved. Neither fits a v5e at this config (BASELINE
+    .md); both remain available for larger-HBM parts (v6e 32 G, v5p
+    95 G) where saving matmul outputs is the standard recompute cut."""
     dots = jax.checkpoint_policies.dots_saveable
 
     def policy(prim, *avals, **params):
